@@ -1,0 +1,161 @@
+"""Windowed per-turn operators: lag/lead, backfill, rolling aggregates.
+
+These are the engine's feature core (SURVEY.md §2.B-windows). All of
+them are single-pass Catalyst Window ops over
+``Window.partitionBy(conv).orderBy(ts, order)`` — one shuffle on
+conv_id total, shared by every window in the same plan (Spark reuses
+the sort for windows with identical partitioning/ordering), so adding
+features is marginal-cost-zero in shuffles.
+
+Leakage rule (BASELINE.json:6): every frame's upper bound is
+``currentRow`` (or a trailing range) — never ``unboundedFollowing``.
+``lead`` is provided for train-time targets only and is explicitly
+marked leaky; the feature-matrix pipeline refuses it at serve time.
+
+Scale notes: a window partitioned by conv_id never materializes more
+than one conversation per task buffer; the whale conversation
+(>=5000 turns) is still far below executor memory. Skew across
+conversations is handled upstream by AQE partition coalescing/splitting
+on the shuffle.
+
+FeatureHub parity: these replace the pandas calls users wrote inside
+feature functions (df.groupby(...).shift/ffill/rolling/expanding)
+[U: user feature code driven by src/featurehub/evaluation/client.py].
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from fte.functions import epoch_seconds
+
+# Stable total order within a conversation: event time, then turn_idx
+# to break the ~1% ts ties deterministically (FIXTURES.md §1).
+DEFAULT_ORDER = ("ts", "turn_idx")
+
+
+def _wt(conv_col: str, order_cols: Sequence[str]):
+    return Window.partitionBy(conv_col).orderBy(*order_cols)
+
+
+def with_lag_lead(
+    df: DataFrame,
+    cols: Sequence[str],
+    offsets: Sequence[int] = (1,),
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = DEFAULT_ORDER,
+    include_lead: bool = False,
+) -> DataFrame:
+    """Add lag_{c}_{n} (and optionally lead_{c}_{n}) columns.
+
+    lead looks at future turns → train-time only (leakage); callers in
+    the serving pipeline must keep include_lead=False.
+    """
+    w = _wt(conv_col, order_cols)
+    out = df
+    for c in cols:
+        for n in offsets:
+            out = out.withColumn(f"lag_{c}_{n}", F.lag(c, n).over(w))
+            if include_lead:
+                out = out.withColumn(f"lead_{c}_{n}", F.lead(c, n).over(w))
+    return out
+
+
+def with_backfill(
+    df: DataFrame,
+    cols: Sequence[str],
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = DEFAULT_ORDER,
+    prefix: str = "ffill_",
+) -> DataFrame:
+    """Forward-fill: carry the last non-null value up to the current
+    turn. pandas equivalent: groupby(conv).ffill(). Frame ends at
+    currentRow → leakage-safe by construction."""
+    w = _wt(conv_col, order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df
+    for c in cols:
+        out = out.withColumn(prefix + c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def with_rolling_counts(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = DEFAULT_ORDER,
+    ts_col: str = "ts",
+    last_seconds: Sequence[int] = (300,),
+) -> DataFrame:
+    """turns_so_far (expanding count) + turns_last_{N}s (trailing time
+    range count). pandas equivalent: expanding().count() /
+    rolling('Ns').count()."""
+    w_rows = _wt(conv_col, order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.withColumn("turns_so_far", F.count(F.lit(1)).over(w_rows))
+    # rangeBetween needs a numeric ordering column; cast ts → epoch secs
+    w_time_base = Window.partitionBy(conv_col).orderBy(epoch_seconds(ts_col))
+    for n in last_seconds:
+        out = out.withColumn(
+            f"turns_last_{n}s",
+            F.count(F.lit(1)).over(w_time_base.rangeBetween(-n, 0)),
+        )
+    return out
+
+
+def with_rolling_role_freq(
+    df: DataFrame,
+    roles: Sequence[str] = ("user", "assistant", "system", "tool"),
+    role_col: str = "role",
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = DEFAULT_ORDER,
+) -> DataFrame:
+    """Running per-role counts and ratios at each turn.
+
+    Conditional sums over one shared window — Catalyst evaluates all of
+    them in a single WindowExec pass (same partition/order/frame), so
+    the bounded role domain costs no extra shuffles.
+    """
+    w = _wt(conv_col, order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df
+    total = F.count(F.lit(1)).over(w)
+    for r in roles:
+        cnt = F.sum(F.when(F.col(role_col) == r, 1).otherwise(0)).over(w)
+        out = out.withColumn(f"cnt_{r}", cnt).withColumn(
+            f"frac_{r}", (cnt / total).cast("double")
+        )
+    return out
+
+
+def with_rolling_text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = DEFAULT_ORDER,
+) -> DataFrame:
+    """Running mean/std/min/max/sum of text length up to the current
+    turn. stddev is sample-stddev (matches pandas .expanding().std())."""
+    w = _wt(conv_col, order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ln = F.length(text_col)
+    return (
+        df.withColumn("textlen", ln)
+        .withColumn("textlen_mean", F.avg(ln).over(w))
+        .withColumn("textlen_std", F.stddev_samp(ln).over(w))
+        .withColumn("textlen_min", F.min(ln).over(w))
+        .withColumn("textlen_max", F.max(ln).over(w))
+        .withColumn("textlen_sum", F.sum(ln).over(w))
+    )
+
+
+def dedup_turns(
+    df: DataFrame,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    order_cols: Sequence[str] = ("ts",),
+) -> DataFrame:
+    """Keep exactly one row per key (first by order_cols): late-data /
+    replay dedup via row_number — one shuffle on the key."""
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,73 @@
+"""Registry + feature-matrix pipeline (FeatureHub capability layer)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fte.features import build_default_registry
+from fte.pipeline import build_matrix
+from fte.registry import FeatureRegistry, dataset_checksum
+
+
+def test_matrix_builds_and_preserves_grain(spark, transcripts_df):
+    reg = build_default_registry()
+    mat = build_matrix(transcripts_df, reg, serve=False, pack_vector=True)
+    assert mat.count() == transcripts_df.count()
+    assert {"conv_id", "turn_idx", "ts", "feature_vector"} <= set(mat.columns)
+
+
+def test_serve_refuses_leaky(spark, transcripts_df):
+    reg = build_default_registry()
+    with pytest.raises(ValueError, match="leaky"):
+        build_matrix(transcripts_df, reg, serve=True)
+
+
+def test_serve_subset_ok(spark, transcripts_df):
+    reg = build_default_registry()
+    names = [n for n, s in reg.features.items() if not s.leaky]
+    mat = build_matrix(transcripts_df, reg, features=names, serve=True)
+    assert mat.count() == transcripts_df.count()
+
+
+def test_registry_discover_and_hash():
+    reg = build_default_registry()
+    hits = reg.discover("session")
+    assert any(s.name == "f_session" for s in hits)
+    assert all(len(s.code_hash) == 16 for s in reg.features.values())
+    # re-registering identical code is idempotent
+    spec = reg.get("f_session")
+    reg.register(spec.builder, name="f_session", outputs=spec.outputs)
+
+
+def test_registry_conflict_detection():
+    reg = FeatureRegistry()
+
+    def f(df):
+        return df
+
+    reg.register(f, name="x")
+
+    def g(df):
+        return df.select("*")
+
+    with pytest.raises(ValueError, match="different code"):
+        reg.register(g, name="x")
+
+
+def test_validate_row_count(spark, transcripts_df):
+    reg = build_default_registry()
+    out = reg.validate(reg.get("f_rolling_counts"), transcripts_df)
+    assert "turns_so_far" in out.columns
+
+
+def test_dataset_checksum_stable(spark, transcripts_df):
+    a = dataset_checksum(transcripts_df)
+    b = dataset_checksum(transcripts_df.repartition(7))
+    assert a == b  # order-insensitive
+
+
+def test_metadata_df(spark):
+    reg = build_default_registry()
+    md = reg.to_metadata_df(spark).toPandas()
+    assert len(md) == len(reg.features)
+    assert bool(md.loc[md.name == "f_next_role", "leaky"].iloc[0]) is True

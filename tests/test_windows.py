@@ -1,0 +1,64 @@
+"""Window operator parity vs the single-node pandas reference
+(SURVEY.md §5.2 check 1: allclose at every (conv_id, turn_idx) key)."""
+
+from __future__ import annotations
+
+from fte import pandas_ref as R
+from fte.operators import (
+    sessionize,
+    with_backfill,
+    with_lag_lead,
+    with_rolling_counts,
+    with_rolling_role_freq,
+    with_rolling_text_stats,
+)
+from tests.util import assert_allclose_frames
+
+
+def test_sessionize_matches_pandas(spark, transcripts_df, transcripts_pdf):
+    got = sessionize(transcripts_df).toPandas()
+    # Spark cumsum is 1-based on first-row flag, same as reference
+    ref = R.ref_sessionize(transcripts_pdf)
+    assert_allclose_frames(got, ref, ["session_id"])
+
+
+def test_rolling_counts_matches_pandas(spark, transcripts_df, transcripts_pdf):
+    got = with_rolling_counts(transcripts_df).toPandas()
+    ref = R.ref_rolling_counts(transcripts_pdf)
+    assert_allclose_frames(got, ref, ["turns_so_far", "turns_last_300s"])
+
+
+def test_lag_lead_matches_pandas(spark, transcripts_df, transcripts_pdf):
+    got = with_lag_lead(transcripts_df, ["role"], offsets=(1,), include_lead=True).toPandas()
+    ref = R.ref_lag_lead(transcripts_pdf)
+    assert_allclose_frames(got, ref, ["lag_role_1", "lead_role_1"])
+
+
+def test_backfill_matches_pandas(spark, transcripts_df, transcripts_pdf):
+    got = with_backfill(transcripts_df, ["tool"]).toPandas()
+    ref = R.ref_backfill(transcripts_pdf, "tool")
+    assert_allclose_frames(got, ref, ["ffill_tool"])
+
+
+def test_rolling_text_stats_matches_pandas(spark, transcripts_df, transcripts_pdf):
+    got = with_rolling_text_stats(transcripts_df).toPandas()
+    ref = R.ref_rolling_text_stats(transcripts_pdf)
+    assert_allclose_frames(
+        got, ref,
+        ["textlen", "textlen_mean", "textlen_std", "textlen_min", "textlen_max", "textlen_sum"],
+        rtol=1e-9, atol=1e-9,
+    )
+
+
+def test_role_freq_matches_pandas(spark, transcripts_df, transcripts_pdf):
+    got = with_rolling_role_freq(transcripts_df).toPandas()
+    ref = R.ref_role_freq(transcripts_pdf)
+    cols = [f"cnt_{r}" for r in ("user", "assistant", "system", "tool")]
+    cols += [f"frac_{r}" for r in ("user", "assistant", "system", "tool")]
+    assert_allclose_frames(got, ref, cols)
+
+
+def test_text_byte_equality(spark, transcripts_df, transcripts_pdf):
+    """Per-turn text equality under stable ordering (input_hint)."""
+    got = sessionize(transcripts_df).toPandas()
+    assert_allclose_frames(got, transcripts_pdf, ["text"])
