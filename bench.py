@@ -1,0 +1,116 @@
+"""Round bench: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Queries are materialized through the `noop` sink so Catalyst cannot
+prune the work (a bare count() would let the optimizer drop window
+columns). The flagship feature-matrix job runs over a deterministic
+synthetic transcripts table (materialized once to /tmp, reused across
+runs) and reports turns/sec alongside the per-query seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from fte.conf import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline subset: the flagship ops + the heaviest scans
+HEADLINE = [
+    "sessionize",
+    "session_stats",
+    "rolling_counts",
+    "asof_join",
+    "asof_join_merge",
+    "role_freq_running",
+    "user_stats",
+    "tpch_pricing",
+    "revenue_by_segment",
+    "doc_text_stats",
+    "knn_bruteforce",
+]
+
+# synthetic transcript scale per sf dir (turns ≈ n_convs × ~15)
+N_CONVS = {"sf0.001": 400, "sf0.01": 4000, "sf0.1": 40000}
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_transcripts(spark, tag: str) -> tuple[float, int]:
+    """Flagship: full serve-time feature matrix over synthetic
+    transcripts (scan → one conv_id shuffle → all window features →
+    noop sink). Returns (seconds, n_turns)."""
+    from fte.features import build_default_registry
+    from fte.pipeline import build_matrix
+    from fte.schema import TRANSCRIPTS_SCHEMA
+    from fte.synth import gen_transcripts_df
+
+    n_convs = N_CONVS.get(tag, 4000)
+    path = f"/tmp/fte_bench_transcripts_{n_convs}.parquet"
+    if not Path(path, "_SUCCESS").exists():
+        gen_transcripts_df(spark, n_convs).write.mode("overwrite").parquet(path)
+    df = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
+    n_turns = df.count()
+    reg = build_default_registry()
+    feats = [n for n, s in reg.features.items() if not s.leaky]
+    t0 = time.time()
+    _noop(build_matrix(df, reg, features=feats, serve=True))
+    return time.time() - t0, n_turns
+
+
+def main() -> int:
+    from fte.queries import catalog
+
+    spark = get_spark(
+        "fte-bench",
+        master=f"local[{CPUS}]",
+        extra_confs={
+            "spark.sql.shuffle.partitions": str(max(CPUS, 8)),
+            "spark.ui.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tag = Path(SF_DIR).name
+    cat = catalog()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = cat[name]
+        df = fn(spark, SF_DIR)
+        _noop(df)  # warm-up (scan cache, codegen)
+        t0 = time.time()
+        _noop(fn(spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    fm_sec, n_turns = bench_transcripts(spark, tag)
+    times["feature_matrix"] = round(fm_sec, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": tag,
+                "cpus": CPUS,
+                "feature_matrix_turns": n_turns,
+                "feature_matrix_turns_per_sec": round(n_turns / fm_sec, 1),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

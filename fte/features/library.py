@@ -69,15 +69,21 @@ def build_default_registry() -> FeatureRegistry:
         tags=("window", "lag"),
     )
     def f_prev_turn(df: DataFrame) -> DataFrame:
-        """Previous turn's role, ts gap (seconds), text length."""
-        out = with_lag_lead(df, ["role", "ts"], offsets=(1,))
-        out = out.withColumn(
-            "gap_prev_s",
-            (F.col("ts").cast("long") - F.col("lag_ts_1").cast("long")).cast("double"),
-        ).drop("lag_ts_1")
-        out = out.withColumn("_tl", F.length("text"))
-        out = with_lag_lead(out, ["_tl"], offsets=(1,))
-        return out.withColumnRenamed("lag__tl_1", "lag_textlen_1").drop("_tl")
+        """Previous turn's role, ts gap (seconds), text length — one
+        WindowExec pass for all three lags."""
+        from pyspark.sql import Window
+
+        from fte.functions import epoch_seconds
+
+        w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+        return df.select(
+            "*",
+            F.lag("role", 1).over(w).alias("lag_role_1"),
+            (epoch_seconds("ts") - F.lag(epoch_seconds("ts"), 1).over(w))
+            .cast("double")
+            .alias("gap_prev_s"),
+            F.lag(F.length("text"), 1).over(w).alias("lag_textlen_1"),
+        )
 
     @reg.feature(outputs=("hour_of_day", "is_weekend"), tags=("scalar", "time"))
     def f_time_of_day(df: DataFrame) -> DataFrame:

@@ -50,17 +50,20 @@ def with_lag_lead(
 ) -> DataFrame:
     """Add lag_{c}_{n} (and optionally lead_{c}_{n}) columns.
 
+    All offsets/cols are emitted in ONE select → one WindowExec pass
+    (a withColumn chain would leave Catalyst N Window nodes to merge).
+
     lead looks at future turns → train-time only (leakage); callers in
     the serving pipeline must keep include_lead=False.
     """
     w = _wt(conv_col, order_cols)
-    out = df
+    new_cols = []
     for c in cols:
         for n in offsets:
-            out = out.withColumn(f"lag_{c}_{n}", F.lag(c, n).over(w))
+            new_cols.append(F.lag(c, n).over(w).alias(f"lag_{c}_{n}"))
             if include_lead:
-                out = out.withColumn(f"lead_{c}_{n}", F.lead(c, n).over(w))
-    return out
+                new_cols.append(F.lead(c, n).over(w).alias(f"lead_{c}_{n}"))
+    return df.select("*", *new_cols)
 
 
 def with_backfill(
@@ -74,10 +77,9 @@ def with_backfill(
     turn. pandas equivalent: groupby(conv).ffill(). Frame ends at
     currentRow → leakage-safe by construction."""
     w = _wt(conv_col, order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    out = df
-    for c in cols:
-        out = out.withColumn(prefix + c, F.last(c, ignorenulls=True).over(w))
-    return out
+    return df.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(prefix + c) for c in cols]
+    )
 
 
 def with_rolling_counts(
@@ -91,15 +93,16 @@ def with_rolling_counts(
     range count). pandas equivalent: expanding().count() /
     rolling('Ns').count()."""
     w_rows = _wt(conv_col, order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    out = df.withColumn("turns_so_far", F.count(F.lit(1)).over(w_rows))
     # rangeBetween needs a numeric ordering column; cast ts → epoch secs
     w_time_base = Window.partitionBy(conv_col).orderBy(epoch_seconds(ts_col))
-    for n in last_seconds:
-        out = out.withColumn(
-            f"turns_last_{n}s",
-            F.count(F.lit(1)).over(w_time_base.rangeBetween(-n, 0)),
-        )
-    return out
+    return df.select(
+        "*",
+        F.count(F.lit(1)).over(w_rows).alias("turns_so_far"),
+        *[
+            F.count(F.lit(1)).over(w_time_base.rangeBetween(-n, 0)).alias(f"turns_last_{n}s")
+            for n in last_seconds
+        ],
+    )
 
 
 def with_rolling_role_freq(
@@ -116,14 +119,24 @@ def with_rolling_role_freq(
     the bounded role domain costs no extra shuffles.
     """
     w = _wt(conv_col, order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    out = df
     total = F.count(F.lit(1)).over(w)
-    for r in roles:
-        cnt = F.sum(F.when(F.col(role_col) == r, 1).otherwise(0)).over(w)
-        out = out.withColumn(f"cnt_{r}", cnt).withColumn(
-            f"frac_{r}", (cnt / total).cast("double")
-        )
-    return out
+    # all counts + the total in one select → a single WindowExec pass;
+    # the ratios are a plain projection on top
+    counted = df.select(
+        "*",
+        total.alias("_cum_total"),
+        *[
+            F.sum(F.when(F.col(role_col) == r, 1).otherwise(0)).over(w).alias(f"cnt_{r}")
+            for r in roles
+        ],
+    )
+    return counted.select(
+        "*",
+        *[
+            (F.col(f"cnt_{r}") / F.col("_cum_total")).cast("double").alias(f"frac_{r}")
+            for r in roles
+        ],
+    ).drop("_cum_total")
 
 
 def with_rolling_text_stats(
@@ -136,13 +149,14 @@ def with_rolling_text_stats(
     turn. stddev is sample-stddev (matches pandas .expanding().std())."""
     w = _wt(conv_col, order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ln = F.length(text_col)
-    return (
-        df.withColumn("textlen", ln)
-        .withColumn("textlen_mean", F.avg(ln).over(w))
-        .withColumn("textlen_std", F.stddev_samp(ln).over(w))
-        .withColumn("textlen_min", F.min(ln).over(w))
-        .withColumn("textlen_max", F.max(ln).over(w))
-        .withColumn("textlen_sum", F.sum(ln).over(w))
+    return df.select(
+        "*",
+        ln.alias("textlen"),
+        F.avg(ln).over(w).alias("textlen_mean"),
+        F.stddev_samp(ln).over(w).alias("textlen_std"),
+        F.min(ln).over(w).alias("textlen_min"),
+        F.max(ln).over(w).alias("textlen_max"),
+        F.sum(ln).over(w).alias("textlen_sum"),
     )
 
 
