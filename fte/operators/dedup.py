@@ -1,0 +1,294 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each a different cost/recall point, all shuffle-disciplined
+for the 100 TB case:
+
+- exact_dedup: hash-groupBy on a 64-bit fingerprint (one shuffle on a
+  fixed-width key — never shuffle raw text).
+- minhash_lsh_pairs / minhash_lsh_dedup: shingle → minhash signature →
+  LSH bands → bucket self-join. Candidate generation touches only
+  (id, band_hash) pairs; the verify step re-reads text for candidates
+  only (a tiny fraction at realistic dup rates).
+- simhash_pairs: 64-bit simhash + pigeonhole block join for hamming
+  distance ≤ k.
+- embedding_dup_pairs: cosine near-dup via random-hyperplane LSH
+  buckets (see fte.operators.similarity for the signature machinery).
+
+Everything is JVM expressions (xxhash64, higher-order array functions);
+no Python UDFs. Signatures are computed in one projection per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from fte.operators.text import with_fingerprint
+
+
+# ------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id doc per normalized-content fingerprint."""
+    fp = with_fingerprint(df, text_col)
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["fingerprint", id_col], "left_semi").drop("fingerprint")
+
+
+# ----------------------------------------------------------- shingles
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingle hashes (array<long>), lowercased/normalized.
+
+    Hashing each shingle to 64 bits immediately keeps the row payload
+    fixed-width regardless of document size.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(k)])  # noqa: E731
+    return F.when(
+        n >= k, F.array_distinct(F.transform(idx, lambda i: F.xxhash64(gram(i))))
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
+
+
+def _minhash_sig(sh: Column, num_hashes: int) -> Column:
+    """num_hashes minhash values: min over xxhash64(shingle, seed=i).
+
+    Re-hashing the shingle hash with a per-row seed column is not
+    available to xxhash64 (seed must be a literal), so we emulate the
+    hash family h_i(x) = xxhash64(x XOR C_i) with distinct constants.
+    """
+    sigs = []
+    for i in range(num_hashes):
+        c_i = F.lit((0x9E3779B97F4A7C15 * (i + 1)) % (1 << 63))
+        sigs.append(F.array_min(F.transform(sh, lambda x: F.xxhash64(x.bitwiseXOR(c_i)))))
+    return F.array(*sigs)
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 32, shingle_k: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    return df.withColumn(out_col, _minhash_sig(shingles(text_col, shingle_k), num_hashes))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.7,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) with estimated and
+    (optionally) exact Jaccard.
+
+    LSH: the signature is cut into ``bands`` bands of r=num_hashes/bands
+    rows; docs agreeing on any full band land in the same bucket.
+    Collision prob ≈ 1-(1-s^r)^b — with 32/8 → r=4, s=0.7 gives ~89%
+    recall. The self-join is on (band_idx, band_hash): fixed-width
+    keys, salt-free (bucket sizes are bounded by near-dup cluster
+    sizes, and AQE skew-split covers pathological buckets).
+    """
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "bands must divide num_hashes"
+    sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_k).alias("_sh")
+    ).withColumn("_sig", _minhash_sig(F.col("_sh"), num_hashes))
+
+    banded = sh.select(
+        id_col,
+        "_sh",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(F.concat_ws(",", *[F.element_at("_sig", b * r + j + 1) for j in range(r)])).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(id_col, "_sh", "_sig", "_band.band_idx", "_band.band_hash")
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"),
+        F.col("_sig").alias("_sig_a"), "band_idx", "band_hash",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"),
+        F.col("_sig").alias("_sig_b"), "band_idx", "band_hash",
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sh_a", "_sh_b", "_sig_a", "_sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.array_intersect("_sig_a", "_sig_b")) / F.lit(num_hashes)
+    ).cast("double").alias("est_jaccard")
+    if not verify:
+        return pairs.select("id_a", "id_b", est)
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    jac = (inter / F.greatest(union, F.lit(1))).cast("double").alias("jaccard")
+    return (
+        pairs.select("id_a", "id_b", est, jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", **kw
+) -> DataFrame:
+    """Drop near-duplicates: each doc maps to the min id among its
+    verified neighbors (single-hop representative — matches the common
+    MinHashLSH-dedup practice of per-pair elimination; full transitive
+    closure would need iterative connected components, provided by
+    ``duplicate_components`` below when exactness matters)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over dup pairs (small-world iterative
+    min-label propagation). Returns (id, component_id). Converges in
+    O(log n) rounds for realistic dup-cluster diameters; each round is
+    one join + one aggregate."""
+    edges = pairs.select("id_a", "id_b")
+    labels = (
+        edges.select(F.col("id_a").alias("id"))
+        .union(edges.select("id_b"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.id_b == labels.id)
+            .groupBy("id_a")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new = (
+            labels.join(neigh, labels.id == neigh.id_a, "left")
+            .select(
+                "id", F.least(F.col("comp"), F.coalesce("n_comp", "comp")).alias("comp")
+            )
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new.localCheckpoint(eager=True)  # truncate lineage per round
+        if changed == 0:
+            break
+    return labels
+
+
+# ------------------------------------------------------------ simhash
+
+def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over word tokens: bit j of the output is the
+    sign of sum over tokens of (bit j of xxhash64(token) ? +1 : -1).
+
+    Pure higher-order-function build: per-bit weighted vote without
+    leaving the JVM. 64 aggregate passes over the token array stay
+    cheap because token hashes are computed once.
+    """
+    words = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << j) if j < 63 else F.lit(-(1 << 63))) != 0, 1).otherwise(-1),
+        )
+        for j in range(64)
+    ]
+    sim = F.lit(0).cast("long")
+    for j, v in enumerate(bit_votes):
+        bit = F.lit(1 << j) if j < 63 else F.lit(-(1 << 63))
+        sim = sim + F.when(v > 0, bit).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out_col, sim)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming via pigeonhole: split
+    64 bits into 4 16-bit blocks; any pair within distance 3 agrees on
+    at least one block → block-equality join generates all candidates."""
+    s = with_simhash(df, text_col).select(id_col, "simhash")
+    blocks = s.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("block_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, "simhash", "_b.block_idx", "_b.block_val")
+    left = blocks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block_idx", "block_val")
+    right = blocks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block_idx", "block_val")
+    return (
+        left.join(right, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ----------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = (),
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact k-gram Jaccard for all pairs (within optional blocking
+    groups). Quadratic within a group — use only with blocking or on
+    small corpora; the scale path is minhash_lsh_pairs."""
+    sh = df.select(id_col, *group_cols, shingles(text_col, k).alias("_sh"))
+    a = sh.select(
+        *[F.col(c) for c in group_cols],
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"),
+    )
+    b = sh.select(
+        *[F.col(c) for c in group_cols],
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"),
+    )
+    on = list(group_cols)
+    joined = a.join(b, on) if on else a.crossJoin(b)
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", (inter / F.greatest(union, F.lit(1))).cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

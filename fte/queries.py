@@ -508,7 +508,9 @@ SELECT vec_id, ROUND(sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank FROM (
 # ---------------------------------------------------------------- catalog
 
 def catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    return {
+    from fte.queries_ml import catalog_ml
+
+    base = {
         "sessionize": (q_sessionize, SQL_SESSIONIZE),
         "session_stats": (q_session_stats, SQL_SESSION_STATS),
         "rolling_counts": (q_rolling_counts, SQL_ROLLING_COUNTS),
@@ -529,3 +531,5 @@ def catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str |
         "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_DEDUP),
         "knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
     }
+    base.update(catalog_ml())
+    return base

@@ -1,0 +1,330 @@
+"""Training-data-pipeline query catalog: dedup, similarity, text
+analysis — Spark + DuckDB oracle pairs over documents/embeddings.
+
+Hash-free formulations are used wherever the oracle must agree
+value-for-value (DuckDB has no xxhash64): dedup compares normalized
+text, n-gram Jaccard compares gram SETS (Spark hashes grams to 64-bit
+first — identical set cardinalities absent collisions). MinHash /
+SimHash / LSH / IVF queries are rows-only entries (no SQL oracle can
+reproduce the hash family); their correctness is covered by pytest
+ground-truth tests instead (tests/test_dedup.py, test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from fte.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from fte.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    ivf_build,
+    ivf_topk,
+    knn_join,
+    lsh_topk,
+    _as_double,
+)
+from fte.operators.text import (
+    LANG_PROFILES,
+    bpe_ish_token_count,
+    token_count,
+    with_lang_id,
+    with_quality_score,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+MUT_TAIL = " extra appended tail tokens for near duplicate testing"
+
+
+def _docs_with_mutants(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(MUT_TAIL)).alias("text"),
+    )
+    return d.unionByName(mut)
+
+
+SQL_DOCS_MUT = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || '{MUT_TAIL}' AS text FROM documents
+"""
+
+
+# ------------------------------------------------------------- dedup
+
+def q_doc_dedup_norm(spark, sf_dir):
+    """Exact dedup on normalized text (case/whitespace-insensitive):
+    keep the min doc_id per content group. Hash-free so the oracle can
+    reproduce it; fte.operators.dedup.exact_dedup uses the xxhash64
+    fingerprint of the SAME normalization at scale."""
+    d = _docs_with_mutants(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        d.withColumn("_n", norm)
+        .groupBy("_n")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+SQL_DOC_DEDUP_NORM = f"""
+WITH u AS ({SQL_DOCS_MUT})
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM u GROUP BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+"""
+
+
+def q_ngram_neardup(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs over docs ∪ mutated
+    copies (threshold 0.5) — ground truth for the MinHash path."""
+    d = _docs_with_mutants(spark, sf_dir).filter(token_count("text") >= 3)
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_NEARDUP = f"""
+WITH u AS ({SQL_DOCS_MUT}),
+w AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM u
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) AS grams
+  FROM w WHERE len(ws) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / GREATEST(len(list_distinct(list_concat(a.grams, b.grams))), 1), 6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / GREATEST(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.5
+"""
+
+
+def q_minhash_neardup(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (rows-only: hash family not
+    reproducible in SQL; pytest covers ground truth)."""
+    d = _docs_with_mutants(spark, sf_dir)
+    pairs = minhash_lsh_pairs(d, num_hashes=32, bands=16, jaccard_threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash hamming<=6 pairs (rows-only)."""
+    d = _docs_with_mutants(spark, sf_dir)
+    return simhash_pairs(d, max_hamming=6)
+
+
+# --------------------------------------------------------------- text
+
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = with_quality_score(d)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        "quality_score",
+    )
+
+
+SQL_DOC_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS toks,
+         LENGTH(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, text, n_chars, len(toks) AS n_tok,
+         CAST(list_sum(list_transform(toks, w -> LENGTH(w))) AS DOUBLE)
+           / GREATEST(len(toks), 1) AS mwl,
+         CAST(len(list_filter(toks, w -> list_contains(
+              ['the','and','of','to','in','is','you','that','it','for'], lower(w)))) AS DOUBLE)
+           / GREATEST(len(toks), 1) AS swr,
+         CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+           / GREATEST(n_chars, 1) AS pr,
+         CAST(LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+           / GREATEST(n_chars, 1) AS ur,
+         CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / GREATEST(n_chars, 1) AS dr
+  FROM t
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       ROUND(mwl, 6) AS mean_word_len,
+       ROUND(swr, 6) AS stopword_ratio,
+       ROUND(dr, 6) AS digit_ratio,
+       (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN mwl BETWEEN 2 AND 12 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN swr >= 0.05 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN pr <= 0.2 AND ur <= 0.3 AND dr <= 0.3 THEN 0.25 ELSE 0.0 END) AS quality_score
+FROM m
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return with_lang_id(d).select(
+        "doc_id", "lang_pred", F.round("lang_score", 6).alias("lang_score")
+    )
+
+
+def _sql_lang_id() -> str:
+    score_exprs = []
+    for lang, words in LANG_PROFILES.items():
+        lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, w -> list_contains({lst}, w))) AS DOUBLE)"
+            f" / GREATEST(len(toks), 1) AS s_{lang}"
+        )
+    # tie-break mirrors Spark's array_max over struct(score, lang):
+    # max score, ties to the lexicographically greatest lang
+    # ('fr' > 'es' > 'en' > 'de')
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                        w -> w <> ''), w -> lower(w)) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, {', '.join(score_exprs)} FROM t
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+            WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+            WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+            WHEN s_en >= s_de THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       ROUND(GREATEST(s_en, s_de, s_fr, s_es), 6) AS lang_score
+FROM s
+"""
+
+
+# --------------------------------------------------------- similarity
+
+def q_emb_top_pairs(spark, sf_dir):
+    """Top-20 most cosine-similar embedding pairs (exact, all pairs)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine(_as_double(F.col("_ea")), _as_double(F.col("_eb")))
+    w = Window.orderBy(F.desc("cos_raw"), F.asc("id_a"), F.asc("id_b"))
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_raw"))
+        .withColumn("pair_rank", F.row_number().over(w))
+        .filter(F.col("pair_rank") <= 20)
+        .select(
+            "id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"),
+            F.col("pair_rank").cast("long").alias("pair_rank"),
+        )
+    )
+
+
+SQL_EMB_TOP_PAIRS = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_raw
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos_raw, 6) AS cos_sim, CAST(pair_rank AS BIGINT) AS pair_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cos_raw DESC, id_a ASC, id_b ASC) AS pair_rank FROM p
+) WHERE pair_rank <= 20
+"""
+
+
+def q_knn_batch(spark, sf_dir):
+    """Exact top-5 neighbors for query vectors 0,1,2 (broadcast knn join)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_join(e, queries, k=5)
+    return got.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_KNN_BATCH = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))) AS sim
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, ROUND(sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+def q_lsh_topk(spark, sf_dir):
+    """ANN top-10 via random-hyperplane LSH (rows-only; recall vs
+    brute force is pytest-checked)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = lsh_topk(e, q, k=10, n_bits=12, max_hamming=3)
+    return got.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    """ANN top-10 via IVF cells (rows-only)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    assigned, C = ivf_build(e, n_cells=16)
+    got = ivf_topk(assigned, C, q, k=10, nprobe=4)
+    return got.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def catalog_ml():
+    return {
+        "doc_dedup_norm": (q_doc_dedup_norm, SQL_DOC_DEDUP_NORM),
+        "ngram_neardup": (q_ngram_neardup, SQL_NGRAM_NEARDUP),
+        "minhash_neardup": (q_minhash_neardup, None),
+        "simhash_neardup": (q_simhash_neardup, None),
+        "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+        "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+        "lang_id": (q_lang_id, _sql_lang_id()),
+        "emb_top_pairs": (q_emb_top_pairs, SQL_EMB_TOP_PAIRS),
+        "knn_batch": (q_knn_batch, SQL_KNN_BATCH),
+        "lsh_topk": (q_lsh_topk, None),
+        "ivf_topk": (q_ivf_topk, None),
+    }

@@ -1,0 +1,106 @@
+"""Dedup operators: planted-duplicate recovery + exact-Jaccard ground
+truth for the LSH paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fte.operators.dedup import (
+    duplicate_components,
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    with_simhash,
+)
+
+BASE_TEXTS = [
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "machine learning models require large amounts of clean training data to perform",
+    "spark is a distributed execution engine for large scale data processing jobs",
+    "feature engineering turns raw transcripts into model ready numeric matrices",
+    "completely unrelated text about cooking pasta with tomato sauce and basil leaves",
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = []
+    did = 0
+    for t in BASE_TEXTS:
+        rows.append((did, t)); did += 1
+    # exact duplicates of doc 0 and 1 (formatting-only changes)
+    rows.append((did, BASE_TEXTS[0])); did += 1
+    rows.append((did, "  " + BASE_TEXTS[0].upper() + "  ")); did += 1  # normalized dup
+    rows.append((did, BASE_TEXTS[1])); did += 1
+    # near-duplicate of doc 2 (one word changed)
+    rows.append((did, BASE_TEXTS[2].replace("engine", "system"))); did += 1
+    # near-duplicate of doc 3 (word appended)
+    rows.append((did, BASE_TEXTS[3] + " efficiently")); did += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    return spark.createDataFrame(pdf, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark, docs_df):
+    got = exact_dedup(docs_df).toPandas().sort_values("doc_id")
+    # docs 5 (=0), 7 (=1) are exact dups; 6 is a case/space variant of 0
+    assert set(got.doc_id) == {0, 1, 2, 3, 4, 8, 9}
+
+
+def test_minhash_pairs_find_planted_near_dups(spark, docs_df):
+    pairs = minhash_lsh_pairs(
+        docs_df, num_hashes=32, bands=16, jaccard_threshold=0.5
+    ).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 5) in found            # exact dup → jaccard 1.0
+    assert (2, 8) in found            # one-word change
+    assert (3, 9) in found            # appended word
+    # est_jaccard should approximate exact jaccard
+    j = pairs.set_index(["id_a", "id_b"])
+    assert j.loc[(0, 5), "jaccard"] == 1.0
+    assert abs(j.loc[(2, 8), "est_jaccard"] - j.loc[(2, 8), "jaccard"]) < 0.35
+
+
+def test_minhash_dedup_drops_losers(spark, docs_df):
+    kept = minhash_lsh_dedup(
+        docs_df, num_hashes=32, bands=16, jaccard_threshold=0.5
+    ).toPandas()
+    assert 5 not in set(kept.doc_id)
+    assert 8 not in set(kept.doc_id)
+    assert 4 in set(kept.doc_id)  # unrelated text survives
+
+
+def test_ngram_jaccard_matches_minhash_verify(spark, docs_df):
+    exact = ngram_jaccard_pairs(docs_df, threshold=0.5).toPandas()
+    mh = minhash_lsh_pairs(docs_df, num_hashes=32, bands=16, jaccard_threshold=0.5).toPandas()
+    e = exact.set_index(["id_a", "id_b"])["jaccard"]
+    m = mh.set_index(["id_a", "id_b"])["jaccard"]
+    shared = e.index.intersection(m.index)
+    assert len(shared) >= 3
+    assert np.allclose(e.loc[shared], m.loc[shared])
+
+
+def test_simhash_near_dups(spark, docs_df):
+    pairs = simhash_pairs(docs_df, max_hamming=10).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 5) in found
+    h = pairs.set_index(["id_a", "id_b"])["hamming"]
+    assert h.loc[(0, 5)] == 0  # identical text → identical simhash
+
+
+def test_simhash_deterministic(spark, docs_df):
+    a = with_simhash(docs_df).toPandas().sort_values("doc_id")["simhash"].tolist()
+    b = with_simhash(docs_df.repartition(5)).toPandas().sort_values("doc_id")["simhash"].tolist()
+    assert a == b
+
+
+def test_duplicate_components_transitive(spark):
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]}), "id_a long, id_b long"
+    )
+    comp = duplicate_components(pairs).toPandas().set_index("id")["comp"]
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
