@@ -27,6 +27,11 @@ from pyspark.sql import SparkSession
 # parquet with dynamic partition overwrite, which preserves the same
 # layout and idempotent-overwrite semantics.
 DEFAULT_CONFS: dict[str, str] = {
+    # local mode: driver heap IS the executor heap; the 1g default
+    # OOMs 32 concurrent window/sort buffers over fat text rows.
+    # Applied at builder time (before JVM launch); under spark-submit
+    # pass --driver-memory/--executor-memory explicitly instead.
+    "spark.driver.memory": "48g",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -16,8 +16,13 @@ from fte.operators.windows import (
     with_rolling_text_stats,
 )
 from fte.operators.asof import asof_join, asof_join_window, asof_join_merge
+from fte.operators.windows import dedup_turns
+from fte.operators.skew import salted_join, salted_group_count
 
 __all__ = [
+    "dedup_turns",
+    "salted_join",
+    "salted_group_count",
     "sessionize",
     "with_lag_lead",
     "with_backfill",

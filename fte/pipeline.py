@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 from fte.registry import FeatureRegistry
 
 KEYS = ("conv_id", "turn_idx", "ts")
+ANCHOR_KEYS = ("anchor_id", "conv_id", "ts")
 
 
 def build_matrix(
@@ -37,7 +38,13 @@ def build_matrix(
     keys: Sequence[str] = KEYS,
     pack_vector: bool = False,
 ) -> DataFrame:
-    names = list(features) if features is not None else sorted(registry.features)
+    if features is not None:
+        names = list(features)
+    else:
+        # default set: everything at train time, non-leaky at serve time
+        names = sorted(
+            n for n, s in registry.features.items() if not (serve and s.leaky)
+        )
     out = df
     out_cols: list[str] = []
     for name in names:
@@ -58,3 +65,74 @@ def build_matrix(
             "feature_vector", F.array(*[F.col(c).cast("double") for c in numeric])
         )
     return result
+
+
+def build_anchor_matrix(
+    anchors: DataFrame,
+    transcripts: DataFrame,
+    registry: FeatureRegistry,
+    features: Sequence[str] | None = None,
+    strategy: str = "window",
+    pack_vector: bool = False,
+) -> DataFrame:
+    """Feature matrix at ANCHOR grain — the full FeatureHub flow with
+    point-in-time correctness.
+
+    1. compute turn-grain features on the transcripts (serve mode —
+       leaky extractors are refused, so every turn's feature row is a
+       pure function of that turn and its past);
+    2. as-of join each anchor (conv_id, ts) to the latest turn with
+       turn.ts <= anchor.ts — that turn's cumulative features ARE the
+       conversation state at the anchor (zero temporal leakage by
+       construction: the matched row never saw anything after its own
+       ts, and its ts <= anchor ts).
+
+    The reference aligned features to a frozen entity table by row
+    position [U: featurehub/evaluation/client.py]; here alignment is
+    the PIT join, so anchors at arbitrary timestamps — including mid-
+    conversation — get exactly the features observable at that moment.
+    """
+    from fte.operators.asof import asof_join
+
+    turn_feats = build_matrix(transcripts, registry, features=features, serve=True)
+    feat_cols = [c for c in turn_feats.columns if c not in ("conv_id",)]
+    out = asof_join(
+        anchors,
+        turn_feats,
+        strategy=strategy,
+        by="conv_id",
+        ts_col="ts",
+        right_cols=tuple(feat_cols),
+        prefix="f_",
+    )
+    if pack_vector:
+        numeric = [
+            c for c, t in out.dtypes
+            if c.startswith("f_") and t in ("int", "bigint", "double", "float", "smallint")
+        ]
+        out = out.withColumn(
+            "feature_vector", F.array(*[F.col(c).cast("double") for c in numeric])
+        )
+    return out
+
+
+def attach_labels(
+    anchor_matrix: DataFrame,
+    labels: DataFrame,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Point-in-time label join: each anchor gets the latest label
+    observed at or before its ts (FeatureHub's target_table_name
+    analog, made leakage-safe — a label from the future never attaches)."""
+    from fte.operators.asof import asof_join_window
+
+    return asof_join_window(
+        anchor_matrix,
+        labels,
+        by="conv_id",
+        ts_col="ts",
+        right_cols=("y", "ts"),
+        prefix="label_",
+        tolerance_seconds=tolerance_seconds,
+        seq_col="y",  # labels have no turn_idx; ties broken on value (stable)
+    )

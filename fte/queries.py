@@ -531,5 +531,8 @@ def catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str |
         "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_DEDUP),
         "knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
     }
+    from fte.queries_extra import catalog_extra
+
     base.update(catalog_ml())
+    base.update(catalog_extra())
     return base

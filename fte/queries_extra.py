@@ -1,0 +1,192 @@
+"""Catalog extras: set ops, non-equi range join, pivot, cube,
+approx-distinct, and the Arrow-vectorized pandas UDF surface
+(scalar + grouped-agg) that input_hint mandates (BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------ set ops
+
+def q_set_ops(spark, sf_dir):
+    """Users who clicked AND purchased minus users who errored —
+    intersect/except composition on distinct key sets."""
+    # restricted to the first week so the three sets actually differ
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts") < F.lit("2024-01-08"))
+    clickers = ev.filter("event_type = 'click'").select("user_id").distinct()
+    buyers = ev.filter("event_type = 'purchase'").select("user_id").distinct()
+    errored = ev.filter("event_type = 'error'").select("user_id").distinct()
+    return clickers.intersect(buyers).exceptAll(errored)
+
+
+SQL_SET_OPS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-08'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-08'
+"""
+
+
+# --------------------------------------------------------- range join
+
+def q_range_join(spark, sf_dir):
+    """Non-equi interval join: for each purchase, count same-user
+    events in the preceding 10 minutes (exclusive of the purchase
+    instant). Equi key (user_id) + range predicate → Spark plans a
+    sort-merge/broadcast join with the range as post-filter; at scale
+    the equi key keeps it out of BNLJ territory."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.select("user_id", "ts")
+    joined = p.join(
+        e,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 600 SECONDS"))
+        & (F.col("ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "p_user").agg(
+        F.sum(F.when(F.col("ts").isNotNull(), 1).otherwise(0)).cast("long").alias("n_prior_10m")
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT p.event_id AS purchase_id, p.user_id AS p_user,
+       CAST(COUNT(e.ts) AS BIGINT) AS n_prior_10m
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL 600 SECONDS
+ AND e.ts < p.ts
+GROUP BY p.event_id, p.user_id
+"""
+
+
+# -------------------------------------------------------------- pivot
+
+def q_pivot_user_types(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    # pivot yields nullable counts; normalize to 0 for oracle parity
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in ("click", "view", "purchase", "signup", "error")],
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------- cube
+
+def q_cube_day_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .cube("day", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_CUBE = """
+SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+FROM events GROUP BY CUBE (day, event_type)
+"""
+
+
+# ------------------------------------------------------ approx sketch
+
+def q_approx_distinct(spark, sf_dir):
+    """HLL++ distinct-user estimate per event_type (rows-only: sketch
+    implementations differ across engines by design; the exact variant
+    is oracle-checked in user_stats/n_types)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# ----------------------------------------------- pandas UDF surface
+
+@pandas_udf("long")
+def _digit_count(s: pd.Series) -> pd.Series:
+    """Scalar Arrow-vectorized UDF: digits per string (batch regex)."""
+    return s.str.count(r"[0-9]").astype("int64")
+
+
+def q_pandas_scalar(spark, sf_dir):
+    """Vectorized scalar pandas UDF over documents.text — the
+    input_hint-mandated UDF surface, with a JVM cross-check column."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        _digit_count(F.col("text")).alias("n_digits"),
+    )
+
+
+SQL_PANDAS_SCALAR = """
+SELECT doc_id,
+       CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+FROM documents
+"""
+
+
+@pandas_udf("double")
+def _median_udaf(v: pd.Series) -> float:
+    """Grouped-agg Arrow UDAF: exact linear-interpolated median."""
+    return float(np.percentile(v.to_numpy(dtype="float64"), 50))
+
+
+def q_pandas_udaf_median(spark, sf_dir):
+    """Grouped-agg pandas UDF (UDAF): per-user median event value.
+    np.percentile, Spark's percentile() and DuckDB's quantile_cont all
+    use linear interpolation → values agree exactly."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(_median_udaf(F.col("value")), 6).alias("median_value")
+    )
+
+
+SQL_PANDAS_UDAF = """
+SELECT user_id, ROUND(quantile_cont(value, 0.5), 6) AS median_value
+FROM events GROUP BY user_id
+"""
+
+
+def catalog_extra():
+    return {
+        "set_ops": (q_set_ops, SQL_SET_OPS),
+        "range_join": (q_range_join, SQL_RANGE_JOIN),
+        "pivot_user_types": (q_pivot_user_types, SQL_PIVOT),
+        "cube_day_type": (q_cube_day_type, SQL_CUBE),
+        "approx_distinct": (q_approx_distinct, None),
+        "pandas_scalar": (q_pandas_scalar, SQL_PANDAS_SCALAR),
+        "pandas_udaf_median": (q_pandas_udaf_median, SQL_PANDAS_UDAF),
+    }

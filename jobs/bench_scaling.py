@@ -1,0 +1,163 @@
+"""Scaling-efficiency evidence (north_rule: ≥0.8 from N→4N executors).
+
+No real cluster exists in this sandbox, so the same spark-submit job
+runs at two parallelism levels — local[8] (N) and local[32] (4N) — on
+the SAME materialized input, per the driver instruction and
+BASELINE.md protocol: fixed-seed input written once, one warm-up run
+discarded per level, median of >=3 timed runs, identical code, only
+--master and spark.sql.shuffle.partitions differ.
+
+Orchestrator mode (default): spawns spark-submit per run, writes
+BENCH/BASELINE.md.  Worker mode (--worker): runs one timed measurement
+inside the current Spark session and prints one JSON line.
+
+The measured job is the flagship pipeline: scan transcripts parquet →
+serve-time feature matrix (one conv_id shuffle, all window features) →
+as-of self-join of every turn against its own timeline → noop sink.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+DATA = "/tmp/fte_scaling_transcripts.parquet"
+N_CONVS = 120_000  # ~1.6M turns
+
+
+def materialize(n_convs: int = N_CONVS) -> None:
+    from fte.conf import get_spark
+    from fte.synth import gen_transcripts_df
+
+    if Path(DATA, "_SUCCESS").exists():
+        return
+    spark = get_spark("fte-scaling-gen", master="local[32]",
+                      extra_confs={"spark.ui.enabled": "false"})
+    gen_transcripts_df(spark, n_convs).write.mode("overwrite").parquet(DATA)
+    spark.stop()
+
+
+def worker() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from fte.features import build_default_registry
+    from fte.operators.asof import asof_join_window
+    from fte.pipeline import build_matrix
+    from fte.schema import TRANSCRIPTS_SCHEMA
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(DATA)
+    n_turns = df.count()
+
+    reg = build_default_registry()
+    feats = [n for n, s in reg.features.items() if not s.leaky]
+
+    def job():
+        mat = build_matrix(df, reg, features=feats, serve=True)
+        # self-join mode: every turn is its own anchor (FIXTURES.md §2)
+        anchors = df.select(
+            F.monotonically_increasing_id().alias("anchor_id"), "conv_id", "ts"
+        )
+        asof = asof_join_window(
+            anchors, df, right_cols=("turn_idx", "role", "tool", "ts")
+        )
+        mat.write.format("noop").mode("overwrite").save()
+        asof.write.format("noop").mode("overwrite").save()
+
+    job()  # warm-up (codegen, page cache) — discarded
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        job()
+        times.append(time.time() - t0)
+    med = statistics.median(times)
+    print(json.dumps({
+        "median_s": round(med, 3),
+        "runs_s": [round(t, 3) for t in times],
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / med, 1),
+    }))
+
+
+def run_level(cores: int) -> dict:
+    env = dict(os.environ)
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--driver-memory", "48g",
+        "--conf", f"spark.sql.shuffle.partitions={cores}",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
+        "--py-files", str(REPO / "fte.zip"),
+        str(Path(__file__)), "--worker",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO), env=env)
+    m = re.findall(r"^\{.*\}$", out.stdout, re.M)
+    if not m:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-2000:] + "\n")
+        raise RuntimeError(f"no JSON from worker at local[{cores}]")
+    return json.loads(m[-1])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--n-convs", type=int, default=N_CONVS)
+    args = ap.parse_args()
+    if args.worker:
+        worker()
+        return 0
+
+    materialize(args.n_convs)
+    subprocess.run(
+        ["zip", "-qr", "fte.zip", "fte"], cwd=str(REPO), check=True
+    )
+    r8 = run_level(8)
+    r32 = run_level(32)
+    eff = r32["turns_per_sec"] / (4 * r8["turns_per_sec"])
+    report = {
+        "local8": r8, "local32": r32,
+        "scaling_efficiency": round(eff, 3),
+        "n_turns": r8["n_turns"],
+    }
+    print(json.dumps(report))
+
+    md = f"""# BENCH — scaling evidence (north_rule ≥ 0.8 from N → 4N)
+
+Protocol (BASELINE.md): fixed-seed synthetic transcripts materialized
+once ({r8['n_turns']:,} turns at {DATA}); identical
+`spark-submit --py-files fte.zip jobs/bench_scaling.py --worker` job at
+both levels; per level one discarded warm-up then median of 3 timed
+runs. Job = scan → serve-time feature matrix (all window features, one
+conv_id shuffle) → as-of self-join of every turn → noop sink. Only
+`--master` and `spark.sql.shuffle.partitions` differ.
+
+| level | cores | median wall (s) | runs (s) | turns/sec |
+|---|---|---|---|---|
+| N | local[8] | {r8['median_s']} | {r8['runs_s']} | {r8['turns_per_sec']:,} |
+| 4N | local[32] | {r32['median_s']} | {r32['runs_s']} | {r32['turns_per_sec']:,} |
+
+**Scaling efficiency = thr(4N) / (4 × thr(N)) = {eff:.3f}**
+(target ≥ 0.8; single-JVM local mode shares one heap/GC and memory
+bandwidth, so this proxy under-reports what separate executors get).
+"""
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -18,8 +18,12 @@ def test_matrix_builds_and_preserves_grain(spark, transcripts_df):
 
 def test_serve_refuses_leaky(spark, transcripts_df):
     reg = build_default_registry()
+    # explicit request for a leaky feature at serve time → hard error
     with pytest.raises(ValueError, match="leaky"):
-        build_matrix(transcripts_df, reg, serve=True)
+        build_matrix(transcripts_df, reg, features=["f_next_role"], serve=True)
+    # default set silently excludes leaky extractors at serve time
+    cols = build_matrix(transcripts_df, reg, serve=True).columns
+    assert "lead_role_1" not in cols
 
 
 def test_serve_subset_ok(spark, transcripts_df):
