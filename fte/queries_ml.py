@@ -113,7 +113,9 @@ def q_minhash_neardup(spark, sf_dir):
     """MinHash-LSH near-dup pairs (rows-only: hash family not
     reproducible in SQL; pytest covers ground truth)."""
     d = _docs_with_mutants(spark, sf_dir)
-    pairs = minhash_lsh_pairs(d, num_hashes=32, bands=16, jaccard_threshold=0.5)
+    # bands=8 (r=4): ~0.9 recall at jaccard 0.7, and unrelated-pair
+    # collision rate low enough that candidates stay near-linear
+    pairs = minhash_lsh_pairs(d, num_hashes=32, bands=8, jaccard_threshold=0.5)
     return pairs.select(
         "id_a", "id_b",
         F.round("est_jaccard", 6).alias("est_jaccard"),
@@ -234,11 +236,19 @@ FROM s
 
 def q_emb_top_pairs(spark, sf_dir):
     """Top-20 most cosine-similar embedding pairs (exact, all pairs)."""
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    from fte.operators.similarity import dot, norm
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("_e")
+    )
+    # hoist norms: computed once per row, not once per pair (the HOF
+    # fold is interpreted — tripling per-pair work costs real seconds)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("_e").alias("_ea"),
+                 norm(F.col("_e")).alias("_na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("_e").alias("_eb"),
+                 norm(F.col("_e")).alias("_nb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    sim = cosine(_as_double(F.col("_ea")), _as_double(F.col("_eb")))
+    sim = (dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))).cast("double")
     w = Window.orderBy(F.desc("cos_raw"), F.asc("id_a"), F.asc("id_b"))
     return (
         pairs.select("id_a", "id_b", sim.alias("cos_raw"))
@@ -296,6 +306,20 @@ FROM (
 """
 
 
+def q_emb_top_pairs_gemm(spark, sf_dir):
+    """Same top-20 pairs via blockwise numpy GEMM (the scale path;
+    rows-only — float accumulation order differs from the SQL oracle
+    by design, cross-checked against emb_top_pairs in pytest)."""
+    from fte.operators.similarity import all_pairs_topk_gemm
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = all_pairs_topk_gemm(e, k=20, n_blocks=8)
+    return out.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("pair_rank").cast("long").alias("pair_rank"),
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
     """ANN top-10 via random-hyperplane LSH (rows-only; recall vs
     brute force is pytest-checked)."""
@@ -324,6 +348,7 @@ def catalog_ml():
         "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
         "lang_id": (q_lang_id, _sql_lang_id()),
         "emb_top_pairs": (q_emb_top_pairs, SQL_EMB_TOP_PAIRS),
+        "emb_top_pairs_gemm": (q_emb_top_pairs_gemm, None),
         "knn_batch": (q_knn_batch, SQL_KNN_BATCH),
         "lsh_topk": (q_lsh_topk, None),
         "ivf_topk": (q_ivf_topk, None),

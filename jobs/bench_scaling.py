@@ -31,14 +31,19 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-DATA = "/tmp/fte_scaling_transcripts.parquet"
-N_CONVS = 120_000  # ~1.6M turns
+N_CONVS = 960_000  # ~12M turns: large enough that per-run fixed
+# costs (planning, stage startup) stay <5% of wall at local[32]
+
+
+def data_path(n_convs: int) -> str:
+    return f"/tmp/fte_scaling_transcripts_{n_convs}.parquet"
 
 
 def materialize(n_convs: int = N_CONVS) -> None:
     from fte.conf import get_spark
     from fte.synth import gen_transcripts_df
 
+    DATA = data_path(n_convs)
     if Path(DATA, "_SUCCESS").exists():
         return
     spark = get_spark("fte-scaling-gen", master="local[32]",
@@ -47,7 +52,7 @@ def materialize(n_convs: int = N_CONVS) -> None:
     spark.stop()
 
 
-def worker() -> None:
+def worker(n_convs: int) -> None:
     from pyspark.sql import SparkSession, functions as F
 
     from fte.features import build_default_registry
@@ -57,7 +62,7 @@ def worker() -> None:
 
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(DATA)
+    df = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(data_path(n_convs))
     n_turns = df.count()
 
     reg = build_default_registry()
@@ -90,19 +95,20 @@ def worker() -> None:
     }))
 
 
-def run_level(cores: int) -> dict:
+def run_level(cores: int, n_convs: int) -> dict:
     env = dict(os.environ)
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
-        "--driver-memory", "48g",
+        "--driver-memory", "16g",
+        "--conf", "spark.driver.extraJavaOptions=-XX:+UseG1GC",
         "--conf", f"spark.sql.shuffle.partitions={cores}",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
         "--py-files", str(REPO / "fte.zip"),
-        str(Path(__file__)), "--worker",
+        str(Path(__file__)), "--worker", "--n-convs", str(n_convs),
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO), env=env)
     m = re.findall(r"^\{.*\}$", out.stdout, re.M)
@@ -118,15 +124,15 @@ def main() -> int:
     ap.add_argument("--n-convs", type=int, default=N_CONVS)
     args = ap.parse_args()
     if args.worker:
-        worker()
+        worker(args.n_convs)
         return 0
 
     materialize(args.n_convs)
     subprocess.run(
         ["zip", "-qr", "fte.zip", "fte"], cwd=str(REPO), check=True
     )
-    r8 = run_level(8)
-    r32 = run_level(32)
+    r8 = run_level(8, args.n_convs)
+    r32 = run_level(32, args.n_convs)
     eff = r32["turns_per_sec"] / (4 * r8["turns_per_sec"])
     report = {
         "local8": r8, "local32": r32,
@@ -138,7 +144,7 @@ def main() -> int:
     md = f"""# BENCH — scaling evidence (north_rule ≥ 0.8 from N → 4N)
 
 Protocol (BASELINE.md): fixed-seed synthetic transcripts materialized
-once ({r8['n_turns']:,} turns at {DATA}); identical
+once ({r8['n_turns']:,} turns); identical
 `spark-submit --py-files fte.zip jobs/bench_scaling.py --worker` job at
 both levels; per level one discarded warm-up then median of 3 timed
 runs. Job = scan → serve-time feature matrix (all window features, one

@@ -1,0 +1,58 @@
+"""TableIO: physical layout (days(ts) × bucket(conv_id)), dynamic
+partition overwrite idempotence, and partition pruning at the scan."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from fte.io import ParquetIO, table_io, with_partition_cols
+from fte.schema import TRANSCRIPTS_SCHEMA
+
+
+def test_layout_and_roundtrip(spark, transcripts_pdf, tmp_path):
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA)
+    io = ParquetIO(n_buckets=4)
+    path = str(tmp_path / "transcripts")
+    io.write(df, path)
+
+    days = [p.name for p in Path(path).iterdir() if p.name.startswith("ts_day=")]
+    assert days, "expected hive ts_day=... directories"
+    buckets = [p.name for p in (Path(path) / days[0]).iterdir() if p.name.startswith("conv_bucket=")]
+    assert buckets, "expected conv_bucket=... subdirectories"
+
+    back = io.read(spark, path)
+    assert back.count() == df.count()
+    # same conv always lands in the same bucket
+    assert (
+        back.groupBy("conv_id").agg({"conv_bucket": "count"}).count()
+        == back.select("conv_id", "conv_bucket").distinct().count()
+    )
+
+
+def test_partition_pruning(spark, transcripts_pdf, tmp_path):
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA)
+    io = ParquetIO(n_buckets=4)
+    path = str(tmp_path / "t")
+    io.write(df, path)
+    one_day = with_partition_cols(df, n_buckets=4).select("ts_day").head()[0]
+    scan = io.read(spark, path).filter(f"ts_day = '{one_day}' and conv_bucket = 2")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ts_day" in m.group(1) and "conv_bucket" in m.group(1), plan[:500]
+
+
+def test_dynamic_overwrite_idempotent(spark, transcripts_pdf, tmp_path):
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA)
+    io = ParquetIO(n_buckets=4)
+    path = str(tmp_path / "t")
+    io.write(df, path)
+    n = io.read(spark, path).count()
+    # re-write ONE bucket's data; total row count must not change
+    part = with_partition_cols(df, n_buckets=4).filter("conv_bucket = 1")
+    io.overwrite_partitions(part, path)
+    assert io.read(spark, path).count() == n
+
+
+def test_table_io_fallback_is_parquet(spark):
+    assert isinstance(table_io(spark), ParquetIO)

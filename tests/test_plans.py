@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: the scale-critical properties that
+a correctness-only suite can't see (SURVEY.md §4). A refactor that
+keeps results identical but adds a shuffle or drags `text` through a
+window pass would pass every parity test and still be 10x slower at
+100 TB — these assertions catch that."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from fte.features import build_default_registry
+from fte.operators import asof_join_window, sessionize
+from fte.pipeline import build_matrix
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(plan: str) -> int:
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def test_matrix_single_shuffle(spark, transcripts_df):
+    reg = build_default_registry()
+    mat = build_matrix(transcripts_df, reg, serve=True)
+    plan = _plan(mat)
+    assert _n_exchanges(plan) == 1, "feature matrix must shuffle once on conv_id"
+    # window-node budget: one per distinct (frame-dependency, order) —
+    # session lag+cumsum, rows-frame bundle, time-range frame, lags
+    n_windows = len(re.findall(r"\bWindow\b", plan))
+    assert n_windows <= 8, f"window pass count regressed: {n_windows}"
+
+
+def test_asof_window_single_shuffle(spark, anchors_df, transcripts_df):
+    out = asof_join_window(anchors_df, transcripts_df)
+    plan = _plan(out)
+    assert _n_exchanges(plan) == 1, "window as-of join must shuffle once"
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    transcripts = sessionize(
+        spark.range(100).selectExpr(
+            "cast(id as string) conv_id", "cast(id as int) turn_idx",
+            "'user' role", "'x' text", "cast(null as string) tool",
+            "timestamp('2025-01-01 00:00:00') + make_interval(0,0,0,0,0,0,id) ts",
+        )
+    )
+    transcripts.write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p).filter("role = 'user'").select("conv_id")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(role), EqualTo(role,user)]" in plan
+
+
+def test_column_pruning_drops_text(spark, tmp_path):
+    """A feature that doesn't read text must not scan it (text is the
+    fat column — SURVEY.md §4 'crucial')."""
+    p = str(tmp_path / "t2.parquet")
+    spark.createDataFrame(
+        [("c", 0, "user", "big text", None, "2025-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts_s string",
+    ).selectExpr("conv_id", "turn_idx", "role", "text", "tool", "timestamp(ts_s) ts").write.mode(
+        "overwrite"
+    ).parquet(p)
+    df = sessionize(spark.read.parquet(p)).select("conv_id", "turn_idx", "session_id")
+    m = re.search(r"ReadSchema: ([^\n]*)", _plan(df))
+    assert m and "text" not in m.group(1)
+
+
+def test_broadcast_in_pruned_merge_asof(spark, anchors_df, transcripts_df):
+    from fte.operators import asof_join_merge
+
+    plan = _plan(asof_join_merge(anchors_df, transcripts_df))
+    assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
