@@ -52,7 +52,7 @@ def build_default_registry() -> FeatureRegistry:
         return with_rolling_role_freq(df)
 
     @reg.feature(
-        outputs=("textlen", "textlen_mean", "textlen_std", "textlen_min", "textlen_max", "textlen_sum"),
+        outputs=("textlen_mean", "textlen_std", "textlen_min", "textlen_max", "textlen_sum"),
         tags=("window", "text"),
     )
     def f_text_stats(df: DataFrame) -> DataFrame:
@@ -76,14 +76,19 @@ def build_default_registry() -> FeatureRegistry:
         from fte.functions import epoch_seconds
 
         w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
-        return df.select(
+        # pre-project the narrow inputs so text/ts stay out of the
+        # shuffle (lag over a projected int, not length(text))
+        tl = F.col("textlen") if "textlen" in df.columns else F.length("text")
+        projected = df.select(
+            "*", tl.alias("_tl"), epoch_seconds("ts").alias("_es")
+        )
+        out = projected.select(
             "*",
             F.lag("role", 1).over(w).alias("lag_role_1"),
-            (epoch_seconds("ts") - F.lag(epoch_seconds("ts"), 1).over(w))
-            .cast("double")
-            .alias("gap_prev_s"),
-            F.lag(F.length("text"), 1).over(w).alias("lag_textlen_1"),
+            (F.col("_es") - F.lag("_es", 1).over(w)).cast("double").alias("gap_prev_s"),
+            F.lag("_tl", 1).over(w).alias("lag_textlen_1"),
         )
+        return out.drop("_tl", "_es")
 
     @reg.feature(outputs=("hour_of_day", "is_weekend"), tags=("scalar", "time"))
     def f_time_of_day(df: DataFrame) -> DataFrame:
@@ -93,13 +98,15 @@ def build_default_registry() -> FeatureRegistry:
         )
 
     @reg.feature(
-        outputs=("word_count", "has_question", "upper_ratio"),
+        outputs=("textlen", "word_count", "has_question", "upper_ratio"),
         tags=("scalar", "text"),
     )
     def f_text_scalars(df: DataFrame) -> DataFrame:
-        """Per-turn text scalars — pure JVM expressions."""
+        """Per-turn text scalars — pure JVM expressions, projected at
+        the scan (scalar stage) so `text` never reaches the shuffle."""
         return (
-            df.withColumn("word_count", F.size(F.split(F.trim(F.col("text")), r"\s+")))
+            df.withColumn("textlen", F.length("text"))
+            .withColumn("word_count", F.size(F.split(F.trim(F.col("text")), r"\s+")))
             .withColumn("has_question", F.col("text").contains("?").cast("int"))
             .withColumn(
                 "upper_ratio",

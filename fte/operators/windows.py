@@ -148,10 +148,18 @@ def with_rolling_text_stats(
     """Running mean/std/min/max/sum of text length up to the current
     turn. stddev is sample-stddev (matches pandas .expanding().std())."""
     w = _wt(conv_col, order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ln = F.length(text_col)
-    return df.select(
+    # window exprs reference a projected narrow int column (never
+    # length(text) directly), so Catalyst's column pruning keeps the
+    # fat text column below the conv_id Exchange. Reuse an existing
+    # textlen column (projected in the scalar stage, i.e. below every
+    # window) when present.
+    projected = (
+        df if "textlen" in df.columns
+        else df.select("*", F.length(text_col).alias("textlen"))
+    )
+    ln = F.col("textlen")
+    return projected.select(
         "*",
-        ln.alias("textlen"),
         F.avg(ln).over(w).alias("textlen_mean"),
         F.stddev_samp(ln).over(w).alias("textlen_std"),
         F.min(ln).over(w).alias("textlen_min"),

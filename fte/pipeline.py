@@ -45,6 +45,15 @@ def build_matrix(
         names = sorted(
             n for n, s in registry.features.items() if not (serve and s.leaky)
         )
+    # apply per-row ('scalar'-tagged) builders FIRST: their projections
+    # then sit below the window shuffle, so fat inputs (text) are
+    # consumed at the scan and pruned out of the Exchange — Catalyst
+    # has no rule to transpose an arbitrary Project below a Window, so
+    # operator order is the only way to keep text out of the shuffle
+    names = sorted(
+        names,
+        key=lambda n: 0 if "scalar" in registry.get(n).tags else 1,
+    )
     out = df
     out_cols: list[str] = []
     for name in names:

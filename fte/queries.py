@@ -4,9 +4,11 @@ Each entry exercises one operator family from SURVEY.md §2.B on the
 driver's read-only testdata (TESTDATA.md). The `events` table is the
 transcript analog (user_id≈conv_id, event_id≈turn_idx, event_type≈role,
 props≈text payload). Column names and types are aligned pairwise:
-counts/ids are BIGINT on both sides, aggregated doubles are rounded to
-6 decimals on both sides (accumulation order differs between engines;
-copied doubles are bit-identical and stay unrounded).
+counts/ids are BIGINT on both sides; SUM/AVG over doubles go through
+exact DECIMAL accumulation on BOTH sides and only then cast to double
+(double accumulation order differs between engines in the last ulp, so
+even ROUND(...,6) flips at rounding boundaries); ratios computed from
+identical operands are left as raw doubles (bit-identical).
 """
 
 from __future__ import annotations

@@ -120,6 +120,28 @@ FROM events GROUP BY CUBE (day, event_type)
 """
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via the SQL API (rollup/cube siblings):
+    totals by (day,type), by (type), and grand total — skipping the
+    by-day-only set that ROLLUP would force."""
+    ev = _t(spark, sf_dir, "events")
+    ev.withColumn("day", F.date_trunc("day", "ts")).createOrReplaceTempView("_ev_gs")
+    return spark.sql(
+        """
+        SELECT day, event_type, COUNT(*) AS n
+        FROM _ev_gs
+        GROUP BY GROUPING SETS ((day, event_type), (event_type), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+FROM events
+GROUP BY GROUPING SETS ((date_trunc('day', ts), event_type), (event_type), ())
+"""
+
+
 # ------------------------------------------------------ approx sketch
 
 def q_approx_distinct(spark, sf_dir):
@@ -186,6 +208,7 @@ def catalog_extra():
         "range_join": (q_range_join, SQL_RANGE_JOIN),
         "pivot_user_types": (q_pivot_user_types, SQL_PIVOT),
         "cube_day_type": (q_cube_day_type, SQL_CUBE),
+        "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
         "approx_distinct": (q_approx_distinct, None),
         "pandas_scalar": (q_pandas_scalar, SQL_PANDAS_SCALAR),
         "pandas_udaf_median": (q_pandas_udaf_median, SQL_PANDAS_UDAF),
