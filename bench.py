@@ -55,6 +55,17 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _time_min(df, runs: int = 3) -> float:
+    """Min-of-N wall time: the sandbox host has bursty co-tenant load
+    (see BENCH/BASELINE.md), so a single timed run can be 10x off."""
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        _noop(df)
+        best = min(best, time.time() - t0)
+    return best
+
+
 def bench_transcripts(spark, tag: str) -> tuple[float, int]:
     """Flagship: full serve-time feature matrix over synthetic
     transcripts (scan → one conv_id shuffle → all window features →
@@ -74,9 +85,7 @@ def bench_transcripts(spark, tag: str) -> tuple[float, int]:
     feats = [n for n, s in reg.features.items() if not s.leaky]
     mat = build_matrix(df, reg, features=feats, serve=True)
     _noop(mat)  # warm-up
-    t0 = time.time()
-    _noop(mat)
-    return time.time() - t0, n_turns
+    return _time_min(mat), n_turns
 
 
 def main() -> int:
@@ -100,10 +109,8 @@ def main() -> int:
         # operator-internal checkpoints, the timed run measures
         # steady-state execution of the same plan
         df = fn(spark, SF_DIR)
-        _noop(df)
-        t0 = time.time()
-        _noop(df)
-        times[name] = round(time.time() - t0, 3)
+        _noop(df)  # warm-up: codegen + operator-internal checkpoints
+        times[name] = round(_time_min(df), 3)
 
     fm_sec, n_turns = bench_transcripts(spark, tag)
     times["feature_matrix"] = round(fm_sec, 3)
