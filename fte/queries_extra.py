@@ -120,6 +120,36 @@ FROM events GROUP BY CUBE (day, event_type)
 """
 
 
+def q_rank_functions(spark, sf_dir):
+    """Ranking-window family: rank / dense_rank / percent_rank /
+    ntile / first_value over per-user value ordering."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first_value("event_id").over(w).alias("top_event_id"),
+    )
+
+
+SQL_RANK_FUNCTIONS = """
+SELECT event_id, user_id,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       FIRST_VALUE(event_id) OVER w AS top_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+"""
+
+
 def q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS via the SQL API (rollup/cube siblings):
     totals by (day,type), by (type), and grand total — skipping the
@@ -209,6 +239,7 @@ def catalog_extra():
         "pivot_user_types": (q_pivot_user_types, SQL_PIVOT),
         "cube_day_type": (q_cube_day_type, SQL_CUBE),
         "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+        "rank_functions": (q_rank_functions, SQL_RANK_FUNCTIONS),
         "approx_distinct": (q_approx_distinct, None),
         "pandas_scalar": (q_pandas_scalar, SQL_PANDAS_SCALAR),
         "pandas_udaf_median": (q_pandas_udaf_median, SQL_PANDAS_UDAF),

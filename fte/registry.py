@@ -141,6 +141,22 @@ class FeatureRegistry:
         return out
 
 
+LEAKY_PATTERNS = (
+    "F.lead(", ".lead(", "unboundedFollowing", "Window.unboundedFollowing",
+    "include_lead=True",
+)
+
+
+def lint_leakage(spec: FeatureSpec) -> list[str]:
+    """Textual leakage lint: a builder NOT flagged leaky must not
+    reference future-looking constructs in its source. Complements the
+    behavioral property test (future-turn mutation ⇒ unchanged
+    features) with a cheap static check at registration/review time."""
+    if spec.leaky:
+        return []
+    return [p for p in LEAKY_PATTERNS if p in spec.source]
+
+
 def dataset_checksum(df: DataFrame) -> int:
     """Order-insensitive content checksum (lineage analog of the
     reference's compute_dataset_hash [U: featurehub/util.py]).

@@ -75,3 +75,26 @@ def test_metadata_df(spark):
     md = reg.to_metadata_df(spark).toPandas()
     assert len(md) == len(reg.features)
     assert bool(md.loc[md.name == "f_next_role", "leaky"].iloc[0]) is True
+
+
+def test_leakage_lint_library():
+    from fte.registry import lint_leakage
+
+    reg = build_default_registry()
+    for spec in reg.features.values():
+        hits = lint_leakage(spec)
+        assert not hits, f"{spec.name} not flagged leaky but uses {hits}"
+
+
+def test_leakage_lint_catches_lead():
+    from fte.registry import FeatureRegistry, lint_leakage
+
+    reg = FeatureRegistry()
+
+    def sneaky(df):
+        from pyspark.sql import Window, functions as F
+        w = Window.partitionBy("conv_id").orderBy("ts")
+        return df.withColumn("nxt", F.lead("role", 1).over(w))
+
+    spec = reg.register(sneaky, outputs=("nxt",))
+    assert lint_leakage(spec)
