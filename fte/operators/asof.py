@@ -135,6 +135,7 @@ def asof_join_merge(
     tolerance_seconds: int | None = None,
     prune: bool = True,
     seq_col: str = "turn_idx",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Broadcast-pruned sort-merge as-of join (spec-named strategy).
 
@@ -143,9 +144,22 @@ def asof_join_merge(
     turns after the last anchor — both can never match. The predicate
     lands below the cogroup shuffle, and the conv_id set participates
     in parquet row-group skipping where stats allow.
+
+    Cogroup granularity is a HASH BUCKET of conversations, not a single
+    conversation: at 10^12 turns a per-conv cogroup would mean billions
+    of tiny Arrow round-trips (the JVM↔Python hop dominates), while a
+    bucket-level group amortizes it and `pd.merge_asof(by=conv)` keeps
+    per-conversation semantics inside the batch. ``n_buckets`` defaults
+    to spark.sql.shuffle.partitions; size it so one bucket of anchors +
+    pruned turns fits a Python worker (buckets ≈ input_rows × row_width
+    / target_batch_bytes).
     """
     right_cols = list(right_cols)
     a_cols = anchors.columns
+    if n_buckets is None:
+        n_buckets = int(
+            anchors.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
 
     pruned = turns
     if prune:
@@ -177,19 +191,23 @@ def asof_join_merge(
     r_ts = ts_col  # right-side ts column name inside the payload
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.drop(columns=["_bkt"], errors="ignore")
         if left.empty:
             return pd.DataFrame(columns=out_names)
         right = right.rename(
             columns={"_rkey": by, **{f"_rc_{c}": c for c in right_cols if c != by}}
         )
-        left = left.sort_values([ts_col, "anchor_id"] if "anchor_id" in left else [ts_col], kind="mergesort")
+        # merge_asof requires global sort on the ON key; `by=` handles
+        # the per-conversation matching inside the bucket
+        sort_left = [ts_col, "anchor_id"] if "anchor_id" in left else [ts_col]
+        left = left.sort_values(sort_left, kind="mergesort")
         if right.empty:
             res = left.copy()
             for c in right_cols:
                 res[prefix + c] = None
             return res[out_names]
-        # sort by (ts, seq_col): merge_asof takes the LAST qualifying
-        # row in sort order → ties resolved to max seq_col
+        # right sorted by (ts, seq_col): merge_asof takes the LAST
+        # qualifying row in sort order → ts ties resolve to max seq_col
         right = right.sort_values([r_ts, seq_col], kind="mergesort")
         rren = right.rename(columns={c: prefix + c for c in right.columns if c != by})
         kw = {}
@@ -197,16 +215,21 @@ def asof_join_merge(
             kw["tolerance"] = pd.Timedelta(seconds=tolerance_seconds)
         res = pd.merge_asof(
             left,
-            rren.drop(columns=[by]),
+            rren,
             left_on=ts_col,
             right_on=prefix + r_ts,
+            left_by=by,
+            right_by=by,
             direction="backward",
             allow_exact_matches=True,
             **kw,
         )
         return res[out_names]
 
-    cg = anchors.groupBy(by).cogroup(pruned.groupBy("_rkey"))
+    bkt = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets)).cast("int")  # noqa: E731
+    a_b = anchors.withColumn("_bkt", bkt(by))
+    p_b = pruned.withColumn("_bkt2", bkt("_rkey"))
+    cg = a_b.groupBy("_bkt").cogroup(p_b.groupBy("_bkt2"))
     return cg.applyInPandas(lambda l, r: merge(l, r), schema=schema)
 
 
