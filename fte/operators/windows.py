@@ -28,6 +28,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 from fte.functions import epoch_seconds
 
@@ -165,6 +166,62 @@ def with_rolling_text_stats(
         F.min(ln).over(w).alias("textlen_min"),
         F.max(ln).over(w).alias("textlen_max"),
         F.sum(ln).over(w).alias("textlen_sum"),
+    )
+
+
+def with_ewma(
+    df: DataFrame,
+    value_col: str,
+    alpha: float = 0.3,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = DEFAULT_ORDER,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average of a numeric column per
+    conversation (pandas ewm(adjust=True) semantics — the form
+    FeatureHub users reached for in feature functions).
+
+    EWMA is a recursion, which Catalyst windows can't express without
+    numeric blow-up (a^-i overflows for long convs), so this is the
+    one grouped-map operator in the window family: Arrow-batched
+    pandas ewm per conversation group. Leakage-safe: ewm only looks
+    backward. For very long conversations the group fits comfortably
+    (one conv per group; the whale is ~KBs of doubles).
+    """
+    import pandas as pd
+
+    out_col = out_col or f"ewma_{value_col}"
+    fields = df.schema.fields
+    out_schema = T.StructType(list(fields) + [T.StructField(out_col, T.DoubleType(), True)])
+    order = list(order_cols)
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf[out_col] = (
+            pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=True).mean()
+        )
+        return pdf
+
+    return df.groupBy(conv_col).applyInPandas(ewma, schema=out_schema)
+
+
+def with_time_bucket_counts(
+    df: DataFrame,
+    bucket: str = "1 hour",
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time windows (F.window): events per (conv,
+    bucket). The batch twin of the streaming session/tumbling aggs."""
+    return (
+        df.groupBy(conv_col, F.window(ts_col, bucket).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            conv_col,
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            "n",
+        )
     )
 
 

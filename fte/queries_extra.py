@@ -150,6 +150,34 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
 """
 
 
+def q_tumbling_hour(spark, sf_dir):
+    """Tumbling 1-hour event-time windows per user (F.window)."""
+    from fte.operators.windows import with_time_bucket_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return with_time_bucket_counts(ev, "1 hour", conv_col="user_id")
+
+
+SQL_TUMBLING = """
+SELECT user_id,
+       time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS bucket_end,
+       COUNT(*) AS n
+FROM events GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+"""
+
+
+def q_ewma(spark, sf_dir):
+    """Per-user EWMA of event value (grouped-map pandas ewm; rows-only
+    — no SQL ewm; pandas parity covered in pytest)."""
+    from fte.operators.windows import with_ewma
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+    out = with_ewma(ev, "value", alpha=0.3, conv_col="user_id",
+                    order_cols=("ts", "event_id"))
+    return out.select("event_id", "user_id", F.round("ewma_value", 6).alias("ewma_value"))
+
+
 def q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS via the SQL API (rollup/cube siblings):
     totals by (day,type), by (type), and grand total — skipping the
@@ -240,6 +268,8 @@ def catalog_extra():
         "cube_day_type": (q_cube_day_type, SQL_CUBE),
         "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
         "rank_functions": (q_rank_functions, SQL_RANK_FUNCTIONS),
+        "tumbling_hour": (q_tumbling_hour, SQL_TUMBLING),
+        "ewma": (q_ewma, None),
         "approx_distinct": (q_approx_distinct, None),
         "pandas_scalar": (q_pandas_scalar, SQL_PANDAS_SCALAR),
         "pandas_udaf_median": (q_pandas_udaf_median, SQL_PANDAS_UDAF),

@@ -62,3 +62,34 @@ def test_text_byte_equality(spark, transcripts_df, transcripts_pdf):
     """Per-turn text equality under stable ordering (input_hint)."""
     got = sessionize(transcripts_df).toPandas()
     assert_allclose_frames(got, transcripts_pdf, ["text"])
+
+
+def test_ewma_matches_pandas(spark, transcripts_df, transcripts_pdf):
+    from fte.operators.windows import with_ewma
+
+    from pyspark.sql import functions as F
+
+    df = transcripts_df.withColumn("val", F.length("text").cast("double"))
+    got = with_ewma(df, "val", alpha=0.3).toPandas()
+
+    pdf = transcripts_pdf.copy()
+    pdf["val"] = pdf["text"].str.len().astype("float64")
+    pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+    pdf["ewma_val"] = (
+        pdf.groupby("conv_id", sort=False)["val"]
+        .transform(lambda s: s.ewm(alpha=0.3, adjust=True).mean())
+    )
+    assert_allclose_frames(got, pdf, ["ewma_val"], rtol=1e-9, atol=1e-9)
+
+
+def test_time_bucket_counts(spark, transcripts_df, transcripts_pdf):
+    from fte.operators.windows import with_time_bucket_counts
+
+    got = with_time_bucket_counts(transcripts_df, "1 hour").toPandas()
+    ref = (
+        transcripts_pdf.assign(b=transcripts_pdf["ts"].dt.floor("h"))
+        .groupby(["conv_id", "b"])
+        .size()
+    )
+    assert len(got) == len(ref)
+    assert got["n"].sum() == len(transcripts_pdf)
