@@ -61,15 +61,80 @@ def streaming_session_stats(
     )
 
 
+SESSION_LABEL_SCHEMA = "conv_id string, turn_idx int, ts timestamp, session_id long"
+_STATE_SCHEMA = "last_ts_us long, session_id long"
+
+
+def streaming_session_labels(
+    stream: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
+) -> DataFrame:
+    """PER-ROW session labels on a stream — the custom stateful
+    operator (``applyInPandasWithState``): state per conv_id carries
+    (last turn ts, current session id) across micro-batches, so a
+    conversation that spans triggers keeps one numbering. This is the
+    streaming twin of operators/sessionize.py (same floored-seconds
+    gap rule); ``streaming_session_stats`` is the aggregate variant.
+
+    Rows within a batch are sorted per conv before labeling; across
+    batches correctness relies on source time-ordering per conv (true
+    for append-only transcript logs; out-of-order late turns are the
+    batch engine's ingest path instead).
+    """
+    import pandas as pd
+
+    def label(key, pdfs, state):
+        conv_id = key[0]
+        if state.exists:
+            last_ts_us, sid = state.get
+        else:
+            last_ts_us, sid = None, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            # worker-side pandas delivers datetime64[ns]; normalize to
+            # microseconds before integer arithmetic
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            ts_s = ts_us // 1_000_000
+            out_sid = []
+            for t in ts_s:
+                if last_ts_us is None or (t - last_ts_us // 1_000_000) > gap_seconds:
+                    sid += 1
+                out_sid.append(sid)
+                last_ts_us = int(ts_us.iloc[len(out_sid) - 1])
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "session_id": pd.array(out_sid, dtype="int64"),
+                }
+            )
+        state.update((last_ts_us, sid))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.select("conv_id", "turn_idx", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            label,
+            outputStructType=SESSION_LABEL_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(
-    result: DataFrame, checkpoint_dir: str, table_name: str
+    result: DataFrame, checkpoint_dir: str, table_name: str, mode: str = "complete"
 ) -> None:
     """Drain everything currently available into an in-memory table and
-    stop — deterministic, no wall-clock dependence."""
+    stop — deterministic, no wall-clock dependence. mode='complete'
+    for aggregations, 'update' for stateful map output."""
     q = (
         result.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -35,3 +35,34 @@ def test_streaming_sessions_match_batch(spark, transcripts_pdf, tmp_path):
     ga = got.groupby("conv_id")["n_turns"].apply(lambda s: sorted(s))
     gb = batch.groupby("conv_id")["count"].apply(lambda s: sorted(s))
     assert ga.to_dict() == gb.to_dict()
+
+
+def test_stateful_session_labels_match_batch(spark, transcripts_pdf, tmp_path):
+    """applyInPandasWithState per-row labels == batch sessionize, with
+    state carrying sessions across micro-batches (maxFilesPerTrigger=16
+    over many files forces multiple triggers)."""
+    from fte.streaming import streaming_session_labels
+
+    src = str(tmp_path / "src2")
+    (
+        spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA)
+        .repartition(40, "conv_id")  # many files → several micro-batches
+        .write.parquet(src)
+    )
+    stream = stream_transcripts(spark, src)
+    labeled = streaming_session_labels(stream)
+    run_available_now(labeled, str(tmp_path / "ckpt2"), "sess_labels", mode="update")
+    got = (
+        spark.table("sess_labels").toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    batch = (
+        sessionize(spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA))
+        .select("conv_id", "turn_idx", "session_id")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch)
+    assert (got["session_id"].to_numpy() == batch["session_id"].to_numpy()).all()
