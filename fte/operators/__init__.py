@@ -16,13 +16,59 @@ from fte.operators.windows import (
     with_rolling_text_stats,
 )
 from fte.operators.asof import asof_join, asof_join_window, asof_join_merge
-from fte.operators.windows import dedup_turns
+from fte.operators.windows import dedup_turns, with_ewma, with_time_bucket_counts
 from fte.operators.skew import salted_join, salted_group_count
+from fte.operators.ingest import merge_late_batch
+from fte.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_lsh_dedup,
+    simhash_pairs,
+    ngram_jaccard_pairs,
+    duplicate_components,
+)
+from fte.operators.similarity import (
+    brute_force_topk,
+    knn_join,
+    lsh_topk,
+    ivf_build,
+    ivf_topk,
+    all_pairs_topk_gemm,
+    embedding_dup_pairs,
+)
+from fte.operators.text import (
+    with_lang_id,
+    with_quality_score,
+    with_fingerprint,
+    token_count,
+    bpe_ish_token_count,
+)
 
 __all__ = [
     "dedup_turns",
+    "with_ewma",
+    "with_time_bucket_counts",
     "salted_join",
     "salted_group_count",
+    "merge_late_batch",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "minhash_lsh_dedup",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "duplicate_components",
+    "brute_force_topk",
+    "knn_join",
+    "lsh_topk",
+    "ivf_build",
+    "ivf_topk",
+    "all_pairs_topk_gemm",
+    "embedding_dup_pairs",
+    "with_lang_id",
+    "with_quality_score",
+    "with_fingerprint",
+    "token_count",
+    "bpe_ish_token_count",
     "sessionize",
     "with_lag_lead",
     "with_backfill",
