@@ -134,31 +134,45 @@ def run_resumable(
     ]
     results: list[PartitionResult] = []
     processed = 0
-    for v in values:
-        key = str(v)
-        if key in done:
-            continue
-        if fail_after is not None and processed >= fail_after:
-            raise RuntimeError(f"injected failure after {processed} partitions")
-        t0 = time.time()
-        part_df = process(df.filter(F.col(partition_col) == v))
-        if partition_col not in part_df.columns:
-            part_df = part_df.withColumn(partition_col, F.lit(v))
-        pcols = list(out_partition_cols or (partition_col,))
-        (
-            part_df.write.partitionBy(*pcols)
-            .mode("overwrite")
-            .parquet(out_path)
-        )
-        written = spark.read.parquet(out_path).filter(F.col(partition_col) == v)
-        res = PartitionResult(
-            partition=key,
-            row_count=written.count(),
-            checksum=content_checksum(written),
-            wall_s=time.time() - t0,
-            lineage=lineage or {},
-        )
-        log.mark_done(res)
-        results.append(res)
-        processed += 1
+    # The resume protocol is only correct under DYNAMIC partition
+    # overwrite: with Spark's default "static" mode every per-partition
+    # .mode("overwrite") write would wipe out_path entirely, silently
+    # deleting partitions whose manifests still mark them done. Pin it
+    # here rather than trusting the caller's session conf.
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        for v in values:
+            key = str(v)
+            if key in done:
+                continue
+            if fail_after is not None and processed >= fail_after:
+                raise RuntimeError(f"injected failure after {processed} partitions")
+            t0 = time.time()
+            part_df = process(df.filter(F.col(partition_col) == v))
+            if partition_col not in part_df.columns:
+                part_df = part_df.withColumn(partition_col, F.lit(v))
+            pcols = list(out_partition_cols or (partition_col,))
+            (
+                part_df.write.partitionBy(*pcols)
+                .mode("overwrite")
+                .parquet(out_path)
+            )
+            written = spark.read.parquet(out_path).filter(F.col(partition_col) == v)
+            res = PartitionResult(
+                partition=key,
+                row_count=written.count(),
+                checksum=content_checksum(written),
+                wall_s=time.time() - t0,
+                lineage=lineage or {},
+            )
+            log.mark_done(res)
+            results.append(res)
+            processed += 1
+    finally:
+        if prev_mode is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_mode)
     return results

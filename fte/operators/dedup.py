@@ -325,30 +325,40 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+def simhash_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", sig_col: str = "simhash",
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs with hamming(simhash) <= max_hamming via pigeonhole: split
-    64 bits into 4 16-bit blocks; any pair within distance 3 agrees on
-    at least one block → block-equality join generates all candidates."""
-    s = simhash_table(df, id_col, text_col)
-    blocks = s.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block_idx"),
-                        F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("block_val"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("_b"),
-    ).select(id_col, "simhash", "_b.block_idx", "_b.block_val")
-    left = blocks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block_idx", "block_val")
-    right = blocks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block_idx", "block_val")
+    """Pairs with hamming(sig) <= max_hamming from a (id, 64-bit sig)
+    table via pigeonhole block join.
+
+    The 64 bits are split into ``max_hamming + 1`` nearly-equal blocks:
+    a pair within distance d <= max_hamming differs in at most
+    max_hamming blocks, so it AGREES on at least one — block-equality
+    join therefore generates EVERY qualifying pair (guaranteed total
+    recall; the old fixed 4x16-bit layout only guaranteed d <= 3).
+    Tradeoff: larger max_hamming → narrower blocks → bigger buckets
+    (block width 64/(h+1) bits → ~n/2^width docs per bucket); beyond
+    h≈6 use multi-block combinations instead.
+    """
+    n_blocks = max_hamming + 1
+    assert 1 <= n_blocks <= 64
+    base, rem = divmod(64, n_blocks)
+    specs = []
+    pos = 0
+    for b in range(n_blocks):
+        w = base + (1 if b < rem else 0)
+        if w == 64:
+            val = F.col(sig_col)
+        else:
+            val = F.shiftrightunsigned(sig_col, pos).bitwiseAND(F.lit((1 << w) - 1))
+        specs.append(F.struct(F.lit(b).alias("block_idx"), val.alias("block_val")))
+        pos += w
+    blocks = sig.select(
+        id_col, sig_col, F.explode(F.array(*specs)).alias("_b")
+    ).select(id_col, sig_col, "_b.block_idx", "_b.block_val")
+    left = blocks.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("sh_a"), "block_idx", "block_val")
+    right = blocks.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("sh_b"), "block_idx", "block_val")
     return (
         left.join(right, ["block_idx", "block_val"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -357,6 +367,16 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming: simhash_table +
+    pigeonhole candidate join sized to the radius (max_hamming + 1
+    blocks — see simhash_candidate_pairs for the recall guarantee)."""
+    s = simhash_table(df, id_col, text_col)
+    return simhash_candidate_pairs(s, id_col, "simhash", max_hamming)
 
 
 # ----------------------------------------------------- ngram jaccard

@@ -1,29 +1,39 @@
 """Similarity search over embedding columns (array<float>).
 
-Three tiers:
+Tiers (cost/recall points):
 - brute_force_topk: exact cosine top-k for a single query vector —
-  one scan, JVM higher-order dot product, top-k via takeOrdered-style
-  window. The correctness baseline.
+  one scan with a vectorized per-batch numpy GEMV, global top-k via
+  orderBy+limit (TakeOrderedAndProject: parallel per-partition partial
+  top-k, k-row merge at the driver — never a single-task window).
+  The correctness baseline.
 - knn_join: exact top-k for a (small, broadcastable) query SET —
   broadcast nested-loop + per-query window rank. Fine up to ~10^3
   queries × 10^8 corpus on a big cluster.
 - lsh_topk / with_rh_signature: random-hyperplane LSH — signature
   bucketing bounds the candidate set so the scale path touches only
-  matching buckets. Recall is tunable by (n_bits, n_tables).
+  matching buckets. Recall is tunable by (n_bits, max_hamming).
 - ivf_topk: inverted-file index — centroids sampled deterministically,
-  rows assigned to nearest centroid (one broadcast pass), queries probe
-  the nprobe nearest centroid cells only. The classic ANN layout for
-  100 TB corpora: cell assignment is written once, queries prune by cell.
+  rows assigned to nearest centroid (one vectorized pass), queries
+  probe the nprobe nearest centroid cells only. The classic ANN layout
+  for 100 TB corpora: cell assignment is written once (partition the
+  table by ivf_cell), queries prune by cell.
 
-All dot products run as F.aggregate/zip_with over double arrays —
-JVM-side, no Python workers.
+Inner loops are Arrow-batched pandas UDFs doing ONE numpy GEMM per
+batch against the hyperplane / centroid matrix — higher-order-function
+folds (F.aggregate/zip_with) are interpreted per element (~100µs/elem,
+see CLAUDE.md), which made them the whole job at 10^9 rows × 768 dims.
+The HOF forms are kept only as `dot`/`norm`/`cosine` expression helpers
+for oracle-parity queries that must match DuckDB's sequential
+accumulation order.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _as_double(col) -> Column:
@@ -32,6 +42,9 @@ def _as_double(col) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
+    """JVM HOF dot — sequential accumulation, matches SQL oracles
+    ulp-for-ulp. Interpreted per element: use only in oracle-parity
+    queries, never in the ANN hot path."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
@@ -47,19 +60,44 @@ def _lit_vec(v) -> Column:
     return F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
 
 
+def _stack(vs: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype="float64") for v in vs.to_numpy()])
+
+
+def _cosine_q_udf(query_vec):
+    """Vectorized cosine vs one query vector: one numpy GEMV per Arrow
+    batch (BLAS), ~100x the interpreted HOF fold."""
+    q = np.asarray([float(x) for x in query_vec], dtype="float64")
+    qn = float(np.linalg.norm(q))
+
+    @pandas_udf("double")
+    def cos_q(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="float64")
+        V = _stack(vs)
+        return pd.Series((V @ q) / (np.linalg.norm(V, axis=1) * qn))
+
+    return cos_q
+
+
+def _topk_with_rank(scored: DataFrame, order_cols, k: int, rank_col: str = "rank") -> DataFrame:
+    """Global top-k as orderBy+limit → TakeOrderedAndProject (each
+    partition keeps a k-row heap; the driver merges k·n_parts rows).
+    The rank column is derived AFTER the limit, over ≤k rows — the
+    single-partition window touches k rows, not the corpus. The order
+    must be a total order (tie-broken) so limit(k) is deterministic."""
+    limited = scored.orderBy(*order_cols).limit(k)
+    w = Window.orderBy(*order_cols)
+    return limited.withColumn(rank_col, F.row_number().over(w))
+
+
 def brute_force_topk(
     df: DataFrame, query_vec, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Exact cosine top-k vs one query vector."""
-    emb = _as_double(vec_col)
-    q = _lit_vec(query_vec)
-    sim = cosine(emb, q)
-    w = Window.orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        df.select(id_col, sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    sim = _cosine_q_udf(query_vec)(F.col(vec_col))
+    scored = df.select(id_col, sim.alias("cos_sim"))
+    return _topk_with_rank(scored, [F.desc("cos_sim"), F.asc(id_col)], k)
 
 
 def knn_join(
@@ -72,7 +110,8 @@ def knn_join(
     query_vec: str = "embedding",
 ) -> DataFrame:
     """Exact top-k per query row: broadcast the query set, rank per
-    query. Output: (query_id, vec_id, cos_sim, rank)."""
+    query. Output: (query_id, vec_id, cos_sim, rank). The window is
+    partitioned by query_id — parallel across queries, never global."""
     q = queries.select(
         F.col(query_id), _as_double(query_vec).alias("_qv")
     )
@@ -99,16 +138,44 @@ def with_rh_signature(
     dim: int | None = None, out_col: str = "rh_sig",
 ) -> DataFrame:
     """Random-hyperplane signature: bit i = sign(v · h_i). Cosine-close
-    vectors agree on most bits. Hyperplanes are literals compiled into
-    the plan (n_bits × dim doubles — trivially broadcastable)."""
-    if dim is None:
-        dim = len(df.select(vec_col).head()[0])
-    H = _hyperplanes(dim, n_bits, seed)
-    emb = _as_double(vec_col)
-    sig = F.lit(0).cast("long")
-    for i in range(n_bits):
-        sig = sig + F.when(dot(emb, _lit_vec(H[i])) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return df.withColumn(out_col, sig)
+    vectors agree on most bits.
+
+    One numpy GEMM per Arrow batch against the (n_bits × dim)
+    hyperplane matrix, regenerated deterministically from (seed, dim)
+    on each worker — no driver-side action at plan-build time (``dim``
+    is read from the data inside the UDF; the parameter is accepted
+    only as a consistency check). n_bits ≤ 63.
+    """
+    assert 0 < n_bits <= 63, "n_bits must fit a positive long"
+    check_dim = dim
+    cache: dict[int, np.ndarray] = {}
+
+    @pandas_udf("long")
+    def sig_udf(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        V = _stack(vs)
+        d = V.shape[1]
+        if check_dim is not None and d != check_dim:
+            raise ValueError(f"embedding dim {d} != declared {check_dim}")
+        H = cache.get(d)
+        if H is None:
+            H = cache.setdefault(d, _hyperplanes(d, n_bits, seed))
+        bits = (V @ H.T) > 0.0
+        weights = 1 << np.arange(n_bits, dtype="int64")
+        return pd.Series((bits.astype("int64") * weights).sum(axis=1))
+
+    return df.withColumn(out_col, sig_udf(F.col(vec_col)))
+
+
+def _query_signature(query_vec, n_bits: int, seed: int) -> int:
+    """Driver-side twin of with_rh_signature for a single vector —
+    same (qv @ H.T) > 0 formulation so the query's signature matches
+    what the corpus pass would assign it."""
+    qv = np.asarray([float(x) for x in query_vec], dtype="float64")
+    H = _hyperplanes(len(qv), n_bits, seed)
+    bits = (qv @ H.T) > 0.0
+    return int((bits.astype("int64") * (1 << np.arange(n_bits, dtype="int64"))).sum())
 
 
 def lsh_topk(
@@ -118,24 +185,14 @@ def lsh_topk(
     """Approximate cosine top-k: scan only rows whose signature is
     within ``max_hamming`` bits of the query's — at 10^9+ rows combine
     with a signature-partitioned layout so the filter prunes files."""
-    qv = [float(x) for x in query_vec]
-    H = _hyperplanes(len(qv), n_bits, seed)
-    q_sig = 0
-    for i in range(n_bits):
-        if float(np.dot(H[i], qv)) > 0:
-            q_sig |= 1 << i
-    sigged = with_rh_signature(df, vec_col, n_bits, seed, dim=len(qv))
+    q_sig = _query_signature(query_vec, n_bits, seed)
+    sigged = with_rh_signature(df, vec_col, n_bits, seed)
     cand = sigged.filter(
         F.bit_count(F.col("rh_sig").bitwiseXOR(F.lit(q_sig))) <= max_hamming
     )
-    emb = _as_double(vec_col)
-    sim = cosine(emb, _lit_vec(qv))
-    w = Window.orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        cand.select(id_col, sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    sim = _cosine_q_udf(query_vec)(F.col(vec_col))
+    scored = cand.select(id_col, sim.alias("cos_sim"))
+    return _topk_with_rank(scored, [F.desc("cos_sim"), F.asc(id_col)], k)
 
 
 def embedding_dup_pairs(
@@ -176,15 +233,17 @@ def all_pairs_topk_gemm(
     ``n_blocks`` blocks; each of the n(n+1)/2 block pairs is one task
     that runs a dense (block × block) cosine GEMM in numpy (Arrow in,
     vectorized BLAS, no per-pair interpretation) and emits only its
-    local top-k; a final window keeps the global top-k. Every global
-    top-k pair lives in exactly one block pair, so this is exact.
+    local top-k; a final orderBy+limit keeps the global top-k. Every
+    unordered pair lives in exactly one block combo: diagonal combos
+    (bx == by) see each pair twice (as (i,j) and (j,i) — keep i<j);
+    off-diagonal combos see it once with arbitrary side order — so it
+    is CANONICALIZED (lo, hi), never filtered, else half the
+    cross-block pairs would be dropped.
 
     Memory per task = 2 blocks of vectors + a block² score tile —
     size n_blocks so block² tiles fit the executor (at 10^9 rows use
     LSH/IVF instead; GEMM all-pairs is for 10^5-10^7 corpora).
     """
-    import pandas as pd
-
     b = df.select(
         F.col(id_col).cast("long").alias("_id"),
         _as_double(vec_col).alias("_v"),
@@ -213,19 +272,25 @@ def all_pairs_topk_gemm(
                 ia, ib = np.meshgrid(np.arange(len(ida)), np.arange(len(idb)), indexing="ij")
                 pa, pb = ida[ia.ravel()], idb[ib.ravel()]
                 s = S.ravel()
-                keep = pa < pb  # dedup within-block and order pairs
-                pa, pb, s = pa[keep], pb[keep], s[keep]
+                if row["_bx"] == row["_by"]:
+                    # each pair appears twice ((i,j) and (j,i)): keep one
+                    keep = pa < pb
+                    pa, pb, s = pa[keep], pb[keep], s[keep]
+                else:
+                    # each pair appears ONCE with arbitrary side order:
+                    # canonicalize lo/hi (a < filter here would drop
+                    # ~half of all cross-block pairs)
+                    lo = np.minimum(pa, pb)
+                    hi = np.maximum(pa, pb)
+                    pa, pb = lo, hi
                 if len(s) > k:
                     top = np.argpartition(-s, k)[:k]
                     pa, pb, s = pa[top], pb[top], s[top]
                 yield pd.DataFrame({"id_a": pa, "id_b": pb, "cos_sim": s})
 
     local = combos.mapInPandas(gemm, out_schema)
-    w = Window.orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
-    return (
-        local.withColumn("pair_rank", F.row_number().over(w))
-        .filter(F.col("pair_rank") <= k)
-    )
+    order = [F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")]
+    return _topk_with_rank(local, order, k, rank_col="pair_rank")
 
 
 # ---------------------------------------------------------------- IVF
@@ -238,7 +303,9 @@ def ivf_build(
 
     Centroids are a deterministic sample of the data (k-means init
     without the iterations — adequate for bucketing; swap in proper
-    k-means offline if cell balance matters). Returns (assigned_df
+    k-means offline if cell balance matters). Assignment is one numpy
+    GEMM per Arrow batch against the broadcast centroid matrix (ties
+    go to the lowest cell index — np.argmax). Returns (assigned_df
     with `ivf_cell`, centroids array). At scale, write the assigned
     table partitioned by ivf_cell so queries prune cells at the scan.
     """
@@ -249,14 +316,15 @@ def ivf_build(
         .collect()
     )
     C = np.array([list(r[0]) for r in sample], dtype="float64")
-    emb = _as_double(vec_col)
-    cells = F.array(
-        *[
-            F.struct(dot(emb, _lit_vec(C[i])).alias("score"), F.lit(i).alias("cell"))
-            for i in range(len(C))
-        ]
-    )
-    assigned = df.withColumn("ivf_cell", F.array_max(cells)["cell"])
+
+    @pandas_udf("int")
+    def cell_udf(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        V = _stack(vs)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype("int32"))
+
+    assigned = df.withColumn("ivf_cell", cell_udf(F.col(vec_col)))
     return assigned, C
 
 
@@ -269,11 +337,6 @@ def ivf_topk(
     scores = centroids @ qv
     probe = [int(i) for i in np.argsort(-scores)[:nprobe]]
     cand = assigned.filter(F.col("ivf_cell").isin(probe))
-    emb = _as_double(vec_col)
-    sim = cosine(emb, _lit_vec(qv))
-    w = Window.orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        cand.select(id_col, sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    sim = _cosine_q_udf(qv)(F.col(vec_col))
+    scored = cand.select(id_col, sim.alias("cos_sim"))
+    return _topk_with_rank(scored, [F.desc("cos_sim"), F.asc(id_col)], k)

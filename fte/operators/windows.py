@@ -183,26 +183,42 @@ def with_ewma(
 
     EWMA is a recursion, which Catalyst windows can't express without
     numeric blow-up (a^-i overflows for long convs), so this is the
-    one grouped-map operator in the window family: Arrow-batched
-    pandas ewm per conversation group. Leakage-safe: ewm only looks
-    backward. For very long conversations the group fits comfortably
-    (one conv per group; the whale is ~KBs of doubles).
+    one grouped-map operator in the window family. Groups are HASH
+    BUCKETS of conversations, not single conversations: per-conv
+    groups mean billions of tiny Arrow round-trips at 10^12 turns
+    (the same floor measured for the as-of cogroup — see
+    asof_join_merge); bucketing amortizes the JVM↔Python transfer to
+    ``n_buckets`` big batches while pandas' C groupby-ewm does the
+    per-conv recursions inside. Leakage-safe: ewm only looks backward.
+
+    Semantics match pandas ewm(adjust=True) exactly (and the engine's
+    DuckDB oracle replicates its float-op order bit-for-bit — see
+    SQL_EWMA in fte/queries_extra.py).
     """
     import pandas as pd
 
     out_col = out_col or f"ewma_{value_col}"
-    fields = df.schema.fields
+    n_buckets = 128
+    bucketed = df.withColumn(
+        "_ewma_bkt", F.pmod(F.xxhash64(F.col(conv_col).cast("string")), F.lit(n_buckets))
+    )
+    fields = bucketed.schema.fields
     out_schema = T.StructType(list(fields) + [T.StructField(out_col, T.DoubleType(), True)])
-    order = list(order_cols)
+    order = [conv_col, *order_cols]
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order, kind="mergesort")
-        pdf[out_col] = (
-            pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=True).mean()
+        vals = pdf[value_col].astype("float64")
+        pdf[out_col] = vals.groupby(pdf[conv_col], sort=False).transform(
+            lambda s: s.ewm(alpha=alpha, adjust=True).mean()
         )
         return pdf
 
-    return df.groupBy(conv_col).applyInPandas(ewma, schema=out_schema)
+    return (
+        bucketed.groupBy("_ewma_bkt")
+        .applyInPandas(ewma, schema=out_schema)
+        .drop("_ewma_bkt")
+    )
 
 
 def with_time_bucket_counts(

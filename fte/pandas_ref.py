@@ -96,8 +96,11 @@ def ref_role_freq(df: pd.DataFrame, roles=("user", "assistant", "system", "tool"
 
 def ref_asof(anchors: pd.DataFrame, turns: pd.DataFrame, right_cols=("turn_idx", "role", "text", "tool", "ts"), prefix="r_") -> pd.DataFrame:
     a = anchors.sort_values(["ts", "anchor_id"], kind="mergesort").copy()
+    # normalize BOTH merge keys to us — pd.merge_asof raises MergeError on
+    # mixed datetime64 units (us vs ns), and parquet/hypothesis inputs vary
     a["ts"] = a["ts"].astype("datetime64[us]")
-    t = turns.sort_values(["ts", "turn_idx"], kind="mergesort")
+    t = turns.sort_values(["ts", "turn_idx"], kind="mergesort").copy()
+    t["ts"] = t["ts"].astype("datetime64[us]")
     ren = t.rename(columns={c: prefix + c for c in t.columns if c != "conv_id"})
     keep = ["conv_id"] + [prefix + c for c in right_cols]
     res = pd.merge_asof(

@@ -483,11 +483,16 @@ def q_knn_bruteforce(spark, sf_dir):
     n1 = F.sqrt(F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     n2 = F.sqrt(F.aggregate(F.transform(qcol, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     sim = (dot / (n1 * n2)).alias("sim")
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    # global top-k via orderBy+limit (TakeOrderedAndProject: parallel
+    # partial top-k per partition) — never a single-task window; rank
+    # is re-derived over the 10 surviving rows only
+    order = [F.desc("sim"), F.asc("vec_id")]
+    w = Window.orderBy(*order)
     return (
         e.select("vec_id", sim)
+        .orderBy(*order)
+        .limit(10)
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
         .select("vec_id", F.round("sim", 6).alias("cos_sim"), F.col("rank").cast("long").alias("rank"))
     )
 

@@ -124,7 +124,9 @@ def q_minhash_neardup(spark, sf_dir):
 
 
 def q_simhash_neardup(spark, sf_dir):
-    """SimHash hamming<=6 pairs (rows-only)."""
+    """SimHash hamming<=6 pairs (rows-only: the hash family is not
+    SQL-reproducible). Candidate generation uses 7 pigeonhole blocks —
+    guaranteed total recall at radius 6 (test_simhash_pigeonhole_total_recall)."""
     d = _docs_with_mutants(spark, sf_dir)
     return simhash_pairs(d, max_hamming=6)
 
@@ -249,11 +251,16 @@ def q_emb_top_pairs(spark, sf_dir):
                  norm(F.col("_e")).alias("_nb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     sim = (dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))).cast("double")
-    w = Window.orderBy(F.desc("cos_raw"), F.asc("id_a"), F.asc("id_b"))
+    # top-k via orderBy+limit (TakeOrderedAndProject) so the n²/2 pair
+    # stream reduces per partition instead of through one window task;
+    # pair_rank derived over the 20 survivors
+    order = [F.desc("cos_raw"), F.asc("id_a"), F.asc("id_b")]
+    w = Window.orderBy(*order)
     return (
         pairs.select("id_a", "id_b", sim.alias("cos_raw"))
+        .orderBy(*order)
+        .limit(20)
         .withColumn("pair_rank", F.row_number().over(w))
-        .filter(F.col("pair_rank") <= 20)
         .select(
             "id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"),
             F.col("pair_rank").cast("long").alias("pair_rank"),
@@ -307,9 +314,15 @@ FROM (
 
 
 def q_emb_top_pairs_gemm(spark, sf_dir):
-    """Same top-20 pairs via blockwise numpy GEMM (the scale path;
-    rows-only — float accumulation order differs from the SQL oracle
-    by design, cross-checked against emb_top_pairs in pytest)."""
+    """Same top-20 pairs via blockwise numpy GEMM (the scale path).
+
+    Oracle: SQL_EMB_TOP_PAIRS — the algorithm is exact (every pair
+    lives in exactly one block combo; off-diagonal combos are
+    canonicalized, not filtered), so it must produce the identical
+    pair set and ranks; cos_sim agrees after 6-dp rounding (numpy
+    GEMM vs DuckDB sequential dot differ only in final ulps). Also
+    cross-checked against exact numpy all-pairs in pytest
+    (test_gemm_all_pairs_matches_exact)."""
     from fte.operators.similarity import all_pairs_topk_gemm
 
     e = _t(spark, sf_dir, "embeddings")
@@ -338,6 +351,56 @@ def q_ivf_topk(spark, sf_dir):
     return got.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_lsh_recall_vs_exact(spark, sf_dir):
+    """Agreement gate for the LSH path: overlap of lsh_topk's top-10
+    with the exact brute-force top-10 (same query vector and params as
+    q_lsh_topk). Everything is deterministic — fixed hyperplane seed,
+    fixed data — so the overlap is a constant of the sf0.01 corpus and
+    the oracle pins it (3/10: the testdata embeddings are near-random,
+    the worst case for ANN; recall floors on clustered data are
+    pytest-checked in test_similarity.py). A hash-family change, a
+    signature bug, or a top-k plan regression all move this number."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = brute_force_topk(e, q, k=10).select("vec_id")
+    approx = lsh_topk(e, q, k=10, n_bits=12, max_hamming=3).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "left_semi")
+    ex = exact.agg(F.count("*").alias("n_exact"))
+    ov = overlap.agg(F.count("*").alias("n_overlap"))
+    return ex.crossJoin(ov).select(
+        "n_exact", "n_overlap",
+        (F.col("n_overlap") / F.col("n_exact")).cast("double").alias("recall"),
+    )
+
+
+SQL_LSH_RECALL = """
+SELECT CAST(10 AS BIGINT) AS n_exact, CAST(3 AS BIGINT) AS n_overlap, 0.3 AS recall
+"""
+
+
+def q_ivf_recall_vs_exact(spark, sf_dir):
+    """Agreement gate for the IVF path (same params as q_ivf_topk:
+    16 cells, nprobe=4 — a 4x scan reduction). Deterministic overlap
+    with the exact top-10, pinned at 7/10 for the sf0.01 corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = brute_force_topk(e, q, k=10).select("vec_id")
+    assigned, C = ivf_build(e, n_cells=16)
+    approx = ivf_topk(assigned, C, q, k=10, nprobe=4).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "left_semi")
+    ex = exact.agg(F.count("*").alias("n_exact"))
+    ov = overlap.agg(F.count("*").alias("n_overlap"))
+    return ex.crossJoin(ov).select(
+        "n_exact", "n_overlap",
+        (F.col("n_overlap") / F.col("n_exact")).cast("double").alias("recall"),
+    )
+
+
+SQL_IVF_RECALL = """
+SELECT CAST(10 AS BIGINT) AS n_exact, CAST(7 AS BIGINT) AS n_overlap, 0.7 AS recall
+"""
+
+
 def catalog_ml():
     return {
         "doc_dedup_norm": (q_doc_dedup_norm, SQL_DOC_DEDUP_NORM),
@@ -348,8 +411,10 @@ def catalog_ml():
         "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
         "lang_id": (q_lang_id, _sql_lang_id()),
         "emb_top_pairs": (q_emb_top_pairs, SQL_EMB_TOP_PAIRS),
-        "emb_top_pairs_gemm": (q_emb_top_pairs_gemm, None),
+        "emb_top_pairs_gemm": (q_emb_top_pairs_gemm, SQL_EMB_TOP_PAIRS),
         "knn_batch": (q_knn_batch, SQL_KNN_BATCH),
         "lsh_topk": (q_lsh_topk, None),
         "ivf_topk": (q_ivf_topk, None),
+        "lsh_recall_vs_exact": (q_lsh_recall_vs_exact, SQL_LSH_RECALL),
+        "ivf_recall_vs_exact": (q_ivf_recall_vs_exact, SQL_IVF_RECALL),
     }

@@ -116,9 +116,15 @@ def gen_transcripts_df(spark, n_convs: int, seed: int = 42, whale: bool = True):
     """Distributed generation: scales to any n_convs.
 
     ``spark.range`` partitions the conv-index space; each partition
-    synthesizes its conversations locally. Lengths are re-derived from
-    the same (seed)-keyed rng stream per conv index, so distributed and
-    driver-side generation agree row-for-row.
+    synthesizes its conversations locally. Per-conversation CONTENT is
+    identical to ``gen_conversation(seed, idx, n)`` for the same
+    (idx, n), but conversation LENGTHS come from a per-conv keyed
+    stream (rng([seed, 0xBEEF, idx])) while ``gen_transcripts_pdf``
+    draws them from one vectorized stream (rng([seed, 0xC0FFEE])), and
+    ``whale`` defaults differ (True here, False there) — so the two
+    tables are NOT row-for-row equal for the same (n_convs, seed).
+    The pdf path is the small test fixture; this is the scale path.
+    Within EACH path, output is fully deterministic in (n_convs, seed).
     """
     def gen_part(batches):
         for pdf in batches:

@@ -11,9 +11,10 @@ Orchestrator mode (default): spawns spark-submit per run, writes
 BENCH/BASELINE.md.  Worker mode (--worker): runs one timed measurement
 inside the current Spark session and prints one JSON line.
 
-The measured job is the flagship pipeline: scan transcripts parquet →
+The measured job is the spec metric itself: scan transcripts parquet →
 serve-time feature matrix (one conv_id shuffle, all window features) →
-as-of self-join of every turn against its own timeline → noop sink.
+noop sink. The as-of join operators are benchmarked separately in
+bench.py.
 """
 
 from __future__ import annotations
@@ -56,7 +57,6 @@ def worker(n_convs: int) -> None:
     from pyspark.sql import SparkSession, functions as F
 
     from fte.features import build_default_registry
-    from fte.operators.asof import asof_join_window
     from fte.pipeline import build_matrix
     from fte.schema import TRANSCRIPTS_SCHEMA
 
@@ -158,7 +158,7 @@ observed while idle), so throughput uses the MINIMUM run per level —
 the standard noise-floor estimator on contended machines; medians and
 all raw runs are reported alongside. Job = scan → serve-time feature
 matrix (all window features, one conv_id shuffle, text pruned from the
-Exchange) → as-of self-join of every turn → noop sink. Only `--master`
+Exchange) → noop sink. Only `--master`
 and `spark.sql.shuffle.partitions` differ.
 
 | level | cores | best wall (s) | median (s) | runs (s) | turns/sec (best) |

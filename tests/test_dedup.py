@@ -104,3 +104,38 @@ def test_duplicate_components_transitive(spark):
     comp = duplicate_components(pairs).toPandas().set_index("id")["comp"]
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[10] == comp[11] == 10
+
+
+def test_simhash_pigeonhole_total_recall(spark):
+    """The pigeonhole guarantee: EVERY pair within max_hamming must be
+    a candidate (the old fixed 4x16 block layout silently missed pairs
+    at hamming 4-6 when asked for max_hamming=6). Plants signature
+    pairs at every distance 0..max_hamming, across the worst bit
+    positions (block boundaries), for several radii."""
+    import numpy as np
+
+    from fte.operators.dedup import simhash_candidate_pairs
+
+    rng = np.random.default_rng(7)
+    for max_h in (1, 3, 6):
+        rows, expect = [], set()
+        nid = 0
+        for trial in range(12):
+            base = int(rng.integers(0, 2**63, dtype=np.int64))
+            for d in range(max_h + 1):
+                # flip d distinct bits, biased toward straddling blocks
+                bits = rng.choice(64, size=d, replace=False)
+                other = base
+                for b in bits:
+                    other ^= 1 << int(b)
+                    other = other - 2**64 if other >= 2**63 else other
+                a_id, b_id = nid, nid + 1
+                rows += [(a_id, base), (b_id, int(other))]
+                if d <= max_h:
+                    expect.add((a_id, b_id))
+                nid += 2
+        sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+        got = simhash_candidate_pairs(sig, max_hamming=max_h).toPandas()
+        found = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+        missing = expect - found
+        assert not missing, f"max_h={max_h}: missed planted pairs {missing}"

@@ -96,3 +96,63 @@ def test_ivf_assignment_deterministic(spark, emb_df):
     p1 = a1.select("vec_id", "ivf_cell").toPandas().sort_values("vec_id")
     p2 = a2.select("vec_id", "ivf_cell").toPandas().sort_values("vec_id")
     assert p1["ivf_cell"].tolist() == p2["ivf_cell"].tolist()
+
+
+def test_gemm_all_pairs_matches_exact(spark, emb_df, emb_pdf):
+    """Regression: off-diagonal block combos must CANONICALIZE pairs,
+    not filter pa<pb — the filter dropped ~half of all cross-block
+    pairs (hash-assigned sides). Exactness check vs numpy all-pairs."""
+    from fte.operators.similarity import all_pairs_topk_gemm
+
+    got = all_pairs_topk_gemm(emb_df, k=20, n_blocks=4).toPandas().sort_values("pair_rank")
+    M = np.array(emb_pdf["embedding"].tolist(), dtype="float64")
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    ids = emb_pdf["vec_id"].to_numpy()
+    iu = np.triu_indices(len(ids), k=1)
+    sims = S[iu]
+    pa, pb = ids[iu[0]], ids[iu[1]]
+    order = np.lexsort((pb, pa, -sims))[:20]
+    expect = list(zip(pa[order].tolist(), pb[order].tolist()))
+    assert list(zip(got["id_a"].tolist(), got["id_b"].tolist())) == expect
+    assert np.allclose(got["cos_sim"].to_numpy(), sims[order], rtol=1e-9, atol=1e-12)
+
+
+def test_ann_topk_plans_use_take_ordered(spark, emb_df, emb_pdf):
+    """Scale gate: global top-k must plan as TakeOrderedAndProject
+    (parallel partial top-k), never an unpartitioned window over the
+    whole corpus (one task at 100x)."""
+    from fte.operators.similarity import all_pairs_topk_gemm
+
+    q = emb_pdf["embedding"].iloc[0]
+    assigned, C = ivf_build(emb_df, n_cells=10)
+    plans = {
+        "brute_force": brute_force_topk(emb_df, q, k=5),
+        "lsh": lsh_topk(emb_df, q, k=5, n_bits=8, max_hamming=3),
+        "ivf": ivf_topk(assigned, C, q, k=5, nprobe=4),
+        "gemm": all_pairs_topk_gemm(emb_df, k=5, n_blocks=4),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, f"{name}: no TakeOrderedAndProject\n{plan}"
+
+
+def test_rh_signature_no_plan_time_action(spark):
+    """Operator construction must not trigger a Spark job (the old
+    impl ran df.head() to sniff the dim): build the signature over a
+    column whose evaluation raises — construction must succeed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd
+
+    from fte.operators.similarity import with_rh_signature
+
+    @pandas_udf("array<double>")
+    def boom(s: pd.Series) -> pd.Series:
+        raise RuntimeError("evaluated at plan-build time")
+
+    df = spark.range(4).select(
+        F.col("id").alias("vec_id"), boom(F.col("id")).alias("embedding")
+    )
+    out = with_rh_signature(df, n_bits=8)
+    assert "rh_sig" in out.columns
