@@ -126,6 +126,32 @@ def knn_join(
     )
 
 
+def with_l2_norm_arrow(df: DataFrame, vec_col: str = "embedding", out_col: str = "l2_norm") -> DataFrame:
+    """Per-row L2 norm of an array<float> column via ``mapInArrow`` —
+    the zero-pandas Arrow path: the list column's flat value buffer is
+    viewed as one numpy array (no per-row object materialization),
+    row sums come from offset differencing of one cumulative sum.
+    Demonstrates the mapInArrow surface (SURVEY §2.B) where even the
+    pandas_udf Series-of-ndarray conversion is too much overhead."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)])
+
+    def add_norm(batches):
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index(vec_col))
+            vals = col.flatten().to_numpy(zero_copy_only=False).astype("float64")
+            lens = col.value_lengths().to_numpy(zero_copy_only=False).astype("int64")
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            csum = np.concatenate([[0.0], np.cumsum(vals * vals)])
+            norms = np.sqrt(csum[ends] - csum[starts])
+            yield batch.append_column(out_col, pa.array(norms, type=pa.float64()))
+
+    return df.mapInArrow(add_norm, out_schema)
+
+
 # --------------------------------------------- random-hyperplane LSH
 
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:

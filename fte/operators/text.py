@@ -1,7 +1,10 @@
 """Text-analysis operators for training-data pipelines.
 
-All pure JVM expressions (split/regexp/aggregate/transform) — no
-Python in the hot path. These are the per-document analogs of the
+All pure JVM whole-stage-codegen expressions (regexp_count /
+regexp_replace / length / xxhash64) — no Python, and no interpreted
+higher-order-function lambdas in the hot path (per-token HOF filters
+made lang_id the slowest doc query; rewritten as one boundary-anchored
+regexp_count per profile). These are the per-document analogs of the
 per-turn text features in fte.features.library, aimed at corpus
 curation at 100 TB: language ID, quality scoring, token counting,
 fingerprinting.
@@ -33,8 +36,23 @@ def tokens(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count (empty string → 0)."""
-    return F.size(tokens(col)).cast("long")
+    """Whitespace token count (empty string → 0): number of maximal
+    non-space runs via regexp_count — pure JVM codegen, no per-token
+    interpreted lambda (identical to size(tokens(col)))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"\S+")).cast("long")
+
+
+def _stopword_hits(c: Column, words: tuple[str, ...]) -> Column:
+    """Count of whitespace tokens (case-folded) equal to any of
+    ``words``: one codegen regexp_count with whitespace-boundary
+    lookarounds — exactly size(filter(toks, w -> w IN words)) without
+    the interpreted per-token lambda (~100µs/element; lang_id was the
+    slowest doc query before this rewrite). Words must be regex-safe
+    (alphabetic); boundaries are (?<=^|\\s)/(?=\\s|$), the same \\s
+    class tokens() splits on, so a match is a FULL token."""
+    pat = r"(?<=^|\s)(" + "|".join(words) + r")(?=\s|$)"
+    return F.regexp_count(F.lower(c), F.lit(pat))
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
@@ -44,12 +62,12 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
-    toks = F.transform(tokens(col), lambda w: F.lower(w))
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
     out = {}
     for lang, words in LANG_PROFILES.items():
-        sw = F.array([F.lit(w) for w in words])
-        hits = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
-        out[lang] = (hits / F.greatest(F.size(toks), F.lit(1))).cast("double")
+        hits = _stopword_hits(c, words)
+        out[lang] = (hits / F.greatest(n_tok, F.lit(1))).cast("double")
     return out
 
 
@@ -71,16 +89,16 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     char/token counts, mean word length, stopword/punct/upper/digit
     ratios, and a [0,1] composite score. All one projection."""
     c = F.col(text_col)
-    toks = tokens(text_col)
-    n_tok = F.size(toks)
+    # all-codegen formulation: token count = non-space runs, sum of
+    # token lengths = non-space char count — no interpreted HOF folds
+    n_tok = token_count(c).cast("int")
     n_chars = F.length(c)
-    sw = F.array([F.lit(w) for w in LANG_PROFILES["en"]])
-    stop_ratio = F.size(F.filter(toks, lambda w: F.array_contains(sw, F.lower(w)))) / F.greatest(n_tok, F.lit(1))
+    stop_ratio = _stopword_hits(c, LANG_PROFILES["en"]) / F.greatest(n_tok, F.lit(1))
     punct_ratio = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")) / F.greatest(n_chars, F.lit(1))
     upper_ratio = F.length(F.regexp_replace(c, r"[^A-Z]", "")) / F.greatest(n_chars, F.lit(1))
     digit_ratio = F.length(F.regexp_replace(c, r"[^0-9]", "")) / F.greatest(n_chars, F.lit(1))
     mean_word_len = (
-        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        F.length(F.regexp_replace(c, r"\s", "")).cast("long")
         / F.greatest(n_tok, F.lit(1))
     )
     score = (

@@ -351,6 +351,25 @@ def q_ivf_topk(spark, sf_dir):
     return got.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_emb_norms(spark, sf_dir):
+    """Per-row embedding L2 norm via mapInArrow — the zero-copy Arrow
+    surface (flat value-buffer numpy view, no pandas objects)."""
+    from fte.operators.similarity import with_l2_norm_arrow
+
+    e = _t(spark, sf_dir, "embeddings")
+    return with_l2_norm_arrow(e).select(
+        "vec_id", F.round("l2_norm", 6).alias("l2_norm")
+    )
+
+
+SQL_EMB_NORMS = """
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+FROM embeddings
+"""
+
+
 def q_lsh_recall_vs_exact(spark, sf_dir):
     """Agreement gate for the LSH path: overlap of lsh_topk's top-10
     with the exact brute-force top-10 (same query vector and params as
@@ -417,4 +436,5 @@ def catalog_ml():
         "ivf_topk": (q_ivf_topk, None),
         "lsh_recall_vs_exact": (q_lsh_recall_vs_exact, SQL_LSH_RECALL),
         "ivf_recall_vs_exact": (q_ivf_recall_vs_exact, SQL_IVF_RECALL),
+        "emb_norms": (q_emb_norms, SQL_EMB_NORMS),
     }

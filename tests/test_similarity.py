@@ -156,3 +156,41 @@ def test_rh_signature_no_plan_time_action(spark):
     )
     out = with_rh_signature(df, n_bits=8)
     assert "rh_sig" in out.columns
+
+
+def test_l2_norm_arrow_matches_jvm(spark, emb_df, emb_pdf):
+    """mapInArrow zero-copy norms vs plain numpy (float-order
+    tolerance: cumulative-sum differencing reassociates the adds)."""
+    from fte.operators.similarity import with_l2_norm_arrow
+
+    got = (
+        with_l2_norm_arrow(emb_df)
+        .select("vec_id", "l2_norm")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    M = np.array(emb_pdf["embedding"].tolist(), dtype="float64")
+    expect = np.linalg.norm(M, axis=1)
+    assert np.allclose(got["l2_norm"].to_numpy(), expect, rtol=1e-7, atol=1e-12)
+
+
+def test_knn_join_broadcasts_queries(spark, emb_df, emb_pdf):
+    """The query set must reach the corpus as a BroadcastExchange —
+    a shuffled nested-loop over 10^9 corpus rows would be the job."""
+    queries = spark.createDataFrame(
+        emb_pdf.iloc[:3].rename(columns={"vec_id": "query_id"}),
+        "query_id long, embedding array<float>",
+    )
+    plan = knn_join(emb_df, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_brute_force_topk_zero_shuffle(spark, emb_df, emb_pdf):
+    """Exact single-query top-k is scan → score → TakeOrdered: no
+    hash-partitioned Exchange anywhere (the post-limit rank window
+    sorts <= k rows, not the corpus)."""
+    import re
+
+    q = emb_pdf["embedding"].iloc[0]
+    plan = brute_force_topk(emb_df, q, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert not re.findall(r"Exchange hashpartitioning", plan), plan
