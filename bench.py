@@ -55,9 +55,11 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _time_min(df, runs: int = 3) -> float:
+def _time_min(df, runs: int = 5) -> float:
     """Min-of-N wall time: the sandbox host has bursty co-tenant load
-    (see BENCH/BASELINE.md), so a single timed run can be 10x off."""
+    (see BENCH/BASELINE.md; observed single runs 1.2s-7.6s for the
+    SAME plan under loadavg 13), so min-of-5 — a single run can be
+    6x off and min-of-3 still caught a 4.7x outlier in round 2."""
     best = float("inf")
     for _ in range(runs):
         t0 = time.time()

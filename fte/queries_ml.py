@@ -133,6 +133,91 @@ def q_simhash_neardup(spark, sf_dir):
 
 # --------------------------------------------------------------- text
 
+def q_emb_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via RH-signature bucket
+    self-join, over embeddings ∪ planted exact copies (vec_id+100000).
+
+    Oracle-checkable because identical vectors always share a
+    signature (full recall on exact dups), and the random corpus has
+    no other pairs near cos 1 — so the LSH output must equal the SQL
+    all-pairs filter at threshold 0.999."""
+    from fte.operators.similarity import embedding_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mut = e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    u = e.unionByName(mut)
+    pairs = embedding_dup_pairs(u, threshold=0.999, n_bits=12)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+SQL_EMB_NEARDUP = """
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_raw
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos_raw, 6) AS cos_sim FROM p WHERE cos_raw >= 0.999
+"""
+
+
+def q_dup_components(spark, sf_dir):
+    """Duplicate clusters: connected components (iterative min-label
+    propagation, localCheckpoint per round) over the exact n-gram
+    Jaccard pairs. Oracle: DuckDB recursive-CTE transitive closure on
+    the same pair set — component_id = min doc_id of the component."""
+    from fte.operators.dedup import duplicate_components
+
+    d = _docs_with_mutants(spark, sf_dir).filter(token_count("text") >= 3)
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    comps = duplicate_components(pairs)
+    return comps.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("comp").cast("long").alias("component_id"),
+    )
+
+
+SQL_DUP_COMPONENTS = f"""
+WITH RECURSIVE uu AS ({SQL_DOCS_MUT}),
+w0 AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM uu
+),
+g0 AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) AS grams
+  FROM w0 WHERE len(ws) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g0 a JOIN g0 b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / GREATEST(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.5
+),
+e AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+),
+walk AS (
+  SELECT id_a AS id, id_b AS reach FROM e
+  UNION
+  SELECT w.id, e2.id_b AS reach FROM walk w JOIN e e2 ON w.reach = e2.id_a
+)
+SELECT CAST(w.id AS BIGINT) AS id,
+       CAST(LEAST(w.id, MIN(w.reach)) AS BIGINT) AS component_id
+FROM walk w
+GROUP BY w.id
+"""
+
+
 def q_token_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -437,4 +522,6 @@ def catalog_ml():
         "lsh_recall_vs_exact": (q_lsh_recall_vs_exact, SQL_LSH_RECALL),
         "ivf_recall_vs_exact": (q_ivf_recall_vs_exact, SQL_IVF_RECALL),
         "emb_norms": (q_emb_norms, SQL_EMB_NORMS),
+        "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
+        "dup_components": (q_dup_components, SQL_DUP_COMPONENTS),
     }
