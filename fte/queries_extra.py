@@ -243,15 +243,18 @@ def q_approx_distinct(spark, sf_dir):
 
 # ----------------------------------------------- pandas UDF surface
 
-@pandas_udf("long")
-def _digit_count(s: pd.Series) -> pd.Series:
-    """Scalar Arrow-vectorized UDF: digits per string (batch regex)."""
-    return s.str.count(r"[0-9]").astype("int64")
-
-
 def q_pandas_scalar(spark, sf_dir):
     """Vectorized scalar pandas UDF over documents.text — the
-    input_hint-mandated UDF surface, with a JVM cross-check column."""
+    input_hint-mandated UDF surface, with a JVM cross-check column.
+    The UDF is built inside the function: a module-level @pandas_udf
+    parses its DDL return type at import time, which requires an
+    active SparkSession and breaks import-before-session consumers."""
+
+    @pandas_udf("long")
+    def _digit_count(s: pd.Series) -> pd.Series:
+        # Scalar Arrow-vectorized UDF: digits per string (batch regex)
+        return s.str.count(r"[0-9]").astype("int64")
+
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -266,16 +269,18 @@ FROM documents
 """
 
 
-@pandas_udf("double")
-def _median_udaf(v: pd.Series) -> float:
-    """Grouped-agg Arrow UDAF: exact linear-interpolated median."""
-    return float(np.percentile(v.to_numpy(dtype="float64"), 50))
-
-
 def q_pandas_udaf_median(spark, sf_dir):
     """Grouped-agg pandas UDF (UDAF): per-user median event value.
     np.percentile, Spark's percentile() and DuckDB's quantile_cont all
-    use linear interpolation → values agree exactly."""
+    use linear interpolation → values agree exactly. UDF built inside
+    the function (module-level @pandas_udf needs a live session at
+    import — see q_pandas_scalar)."""
+
+    @pandas_udf("double")
+    def _median_udaf(v: pd.Series) -> float:
+        # grouped-agg Arrow UDAF: exact linear-interpolated median
+        return float(np.percentile(v.to_numpy(dtype="float64"), 50))
+
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.round(_median_udaf(F.col("value")), 6).alias("median_value")
