@@ -147,6 +147,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.7,
     verify: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) with estimated and
     (optionally) exact Jaccard.
@@ -157,6 +158,17 @@ def minhash_lsh_pairs(
     recall. The self-join is on (band_idx, band_hash): fixed-width
     keys, salt-free (bucket sizes are bounded by near-dup cluster
     sizes, and AQE skew-split covers pathological buckets).
+
+    ``max_bucket``: at web scale a boilerplate-heavy corpus produces a
+    few GIANT band buckets (10^6 docs sharing a band → 10^12 candidate
+    rows from one bucket). Setting a cap drops any bucket larger than
+    ``max_bucket`` BEFORE the self-join — the standard web-dedup
+    guard: giant buckets carry near-zero information per pair, and
+    their members almost always co-occur in other, smaller buckets.
+    NOT silent: members of an all-duplicate cluster larger than the
+    cap can lose pairs — size the cap above the largest real dup
+    cluster, or follow with exact_dedup (which has no such limit) for
+    the exact-duplicate mass.
     """
     r = num_hashes // bands
     assert r * bands == num_hashes, "bands must divide num_hashes"
@@ -198,6 +210,18 @@ def minhash_lsh_pairs(
             )
         ).alias("_band"),
     ).select(id_col, "_band.band_idx", "_band.band_hash")
+
+    if max_bucket is not None:
+        # bucket-size window shares the join's (band_idx, band_hash)
+        # partitioning; oversize buckets never reach the self-join
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
 
     left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
@@ -327,7 +351,7 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id", sig_col: str = "simhash",
-    max_hamming: int = 3,
+    max_hamming: int = 3, max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs with hamming(sig) <= max_hamming from a (id, 64-bit sig)
     table via pigeonhole block join.
@@ -339,7 +363,10 @@ def simhash_candidate_pairs(
     recall; the old fixed 4x16-bit layout only guaranteed d <= 3).
     Tradeoff: larger max_hamming → narrower blocks → bigger buckets
     (block width 64/(h+1) bits → ~n/2^width docs per bucket); beyond
-    h≈6 use multi-block combinations instead.
+    h≈6 use multi-block combinations instead. ``max_bucket`` drops
+    oversize block buckets before the self-join (same giant-bucket
+    guard and caveat as minhash_lsh_pairs — capping trades guaranteed
+    recall for bounded join size).
     """
     n_blocks = max_hamming + 1
     assert 1 <= n_blocks <= 64
@@ -357,6 +384,15 @@ def simhash_candidate_pairs(
     blocks = sig.select(
         id_col, sig_col, F.explode(F.array(*specs)).alias("_b")
     ).select(id_col, sig_col, "_b.block_idx", "_b.block_val")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("block_idx", "block_val")
+        blocks = (
+            blocks.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     left = blocks.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("sh_a"), "block_idx", "block_val")
     right = blocks.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("sh_b"), "block_idx", "block_val")
     return (

@@ -224,24 +224,39 @@ def lsh_topk(
 def embedding_dup_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, n_bits: int = 12, seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via signature-bucket
     self-join (exact cosine verified inside buckets). Pairs whose
-    signatures differ are missed — recall is the standard LSH tradeoff;
-    raise recall with multiple tables (seeds) unioned."""
-    sigged = with_rh_signature(df, vec_col, n_bits, seed).select(
-        id_col, F.col(vec_col), "rh_sig"
-    )
-    a = sigged.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("rh_sig")
-    )
-    b = sigged.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("rh_sig")
-    )
+    signatures differ are missed — the standard LSH tradeoff;
+    ``n_tables`` > 1 unions independent hash tables (distinct seeds):
+    miss probability decays exponentially in the table count
+    (p_miss ≈ (1-p_same_sig)^n_tables) for ~n_tables× candidate cost.
+    """
+
+    def one_table(t: int) -> DataFrame:
+        sigged = with_rh_signature(df, vec_col, n_bits, seed + 7919 * t).select(
+            id_col, F.col(vec_col), "rh_sig"
+        )
+        a = sigged.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("rh_sig")
+        )
+        b = sigged.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("rh_sig")
+        )
+        return (
+            a.join(b, "rh_sig")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_va", "_vb")
+        )
+
+    cand = one_table(0)
+    for t in range(1, n_tables):
+        cand = cand.unionByName(one_table(t))
+    if n_tables > 1:
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     return (
-        a.join(b, "rh_sig")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine(_as_double(F.col("_va")), _as_double(F.col("_vb"))))
+        cand.withColumn("cos_sim", cosine(_as_double(F.col("_va")), _as_double(F.col("_vb"))))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -139,3 +139,38 @@ def test_simhash_pigeonhole_total_recall(spark):
         found = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
         missing = expect - found
         assert not missing, f"max_h={max_h}: missed planted pairs {missing}"
+
+
+def test_minhash_max_bucket_guard(spark):
+    """Giant-bucket cap: 40 identical docs form one mega band-bucket;
+    with max_bucket=10 their quadratic pair mass is dropped while a
+    small distinct near-dup cluster is still found."""
+    import pandas as pd
+
+    from fte.operators.dedup import minhash_lsh_pairs
+
+    boiler = [(i, "the same boilerplate footer text repeated on every page of the site") for i in range(40)]
+    near = [
+        (100, "a genuinely unique document about distributed joins and shuffles in spark engines"),
+        (101, "a genuinely unique document about distributed joins and shuffles in spark engines today"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(boiler + near, columns=["doc_id", "text"]))
+    capped = minhash_lsh_pairs(df, jaccard_threshold=0.5, max_bucket=10).toPandas()
+    got = set(map(tuple, capped[["id_a", "id_b"]].to_numpy()))
+    assert (100, 101) in got, "small-cluster pair must survive the cap"
+    assert not any(a < 40 and b < 40 for a, b in got), "mega-bucket pairs must be dropped"
+    # without the cap the boilerplate cluster produces all 780 pairs
+    uncapped = minhash_lsh_pairs(df, jaccard_threshold=0.5).toPandas()
+    assert len(uncapped) == 780 + 1
+
+
+def test_simhash_max_bucket_guard(spark):
+    """Same guard on the simhash block join, at the signature level."""
+    from fte.operators.dedup import simhash_candidate_pairs
+
+    rows = [(i, 0x0F0F0F0F0F0F0F0F) for i in range(30)] + [(100, 1), (101, 3)]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = simhash_candidate_pairs(sig, max_hamming=3, max_bucket=10).toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+    assert (100, 101) in pairs
+    assert not any(a < 30 and b < 30 for a, b in pairs)

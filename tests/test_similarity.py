@@ -194,3 +194,14 @@ def test_brute_force_topk_zero_shuffle(spark, emb_df, emb_pdf):
     q = emb_pdf["embedding"].iloc[0]
     plan = brute_force_topk(emb_df, q, k=5)._jdf.queryExecution().executedPlan().toString()
     assert not re.findall(r"Exchange hashpartitioning", plan), plan
+
+
+def test_embedding_dup_pairs_multi_table(spark, emb_df):
+    """Multi-table LSH: unioned tables still find the planted pair,
+    emit no duplicate (id_a, id_b) rows, and candidates are a superset
+    of any single table's."""
+    single = embedding_dup_pairs(emb_df, threshold=0.999, n_bits=12).toPandas()
+    multi = embedding_dup_pairs(emb_df, threshold=0.999, n_bits=12, n_tables=3).toPandas()
+    assert (0, N) in set(map(tuple, multi[["id_a", "id_b"]].to_numpy()))
+    assert not multi.duplicated(["id_a", "id_b"]).any()
+    assert len(multi) >= len(single)
