@@ -125,6 +125,73 @@ def streaming_session_labels(
     )
 
 
+EWMA_SCHEMA = "conv_id string, turn_idx int, ts timestamp, ewma double"
+_EWMA_STATE_SCHEMA = "wa double, ow double"
+
+
+def streaming_ewma(
+    stream: DataFrame, value_expr=None, alpha: float = 0.3
+) -> DataFrame:
+    """Streaming EWMA of a per-turn value (default: text length) —
+    a second custom stateful operator: state per conv_id carries the
+    pandas-ewm(adjust=True) recursion state (weighted_avg, old_wt)
+    across micro-batches, so a conversation that spans triggers
+    continues the SAME recursion the batch operator (with_ewma) runs,
+    float-op for float-op:  ow' = (1-α)·ow;  wa' = (ow'·wa + x)/(ow'+1)
+    unless wa == x;  then ow' += 1. Bit-identical to the batch/oracle
+    semantics (fte/queries_extra.py SQL_EWMA) given in-order arrival
+    per conv (true for append-only transcript logs).
+    """
+    import pandas as pd
+
+    factor = 1.0 - alpha
+
+    def step(key, pdfs, state):
+        conv_id = key[0]
+        if state.exists:
+            wa, ow = state.get
+            started = True
+        else:
+            wa, ow, started = 0.0, 0.0, False
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            xs = pdf["_x"].astype("float64").to_numpy()
+            out = []
+            for x in xs:
+                if not started:
+                    wa, ow, started = float(x), 1.0, True
+                else:
+                    ow = ow * factor
+                    if wa != x:
+                        wa = (ow * wa + x) / (ow + 1.0)
+                    ow = ow + 1.0
+                out.append(wa)
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "ewma": pd.array(out, dtype="float64"),
+                }
+            )
+        state.update((wa, ow))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    x = value_expr if value_expr is not None else F.length("text").cast("double")
+    return (
+        stream.select("conv_id", "turn_idx", "ts", x.alias("_x"))
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            step,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(
     result: DataFrame, checkpoint_dir: str, table_name: str, mode: str = "complete"
 ) -> None:

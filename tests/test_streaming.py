@@ -66,3 +66,42 @@ def test_stateful_session_labels_match_batch(spark, transcripts_pdf, tmp_path):
     )
     assert len(got) == len(batch)
     assert (got["session_id"].to_numpy() == batch["session_id"].to_numpy()).all()
+
+
+def test_streaming_ewma_matches_batch(spark, transcripts_pdf, tmp_path):
+    """Stateful streaming EWMA == batch with_ewma (pandas ewm
+    semantics) bit-for-bit, with recursion state crossing micro-batch
+    boundaries (40 conv-partitioned files, 16/trigger)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fte.operators.windows import with_ewma
+    from fte.streaming import streaming_ewma
+
+    src = str(tmp_path / "src3")
+    (
+        spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA)
+        .repartition(40, "conv_id")
+        .write.parquet(src)
+    )
+    stream = stream_transcripts(spark, src)
+    run_available_now(
+        streaming_ewma(stream), str(tmp_path / "ckpt3"), "ewma_stream", mode="update"
+    )
+    got = (
+        spark.table("ewma_stream").toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    batch_df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA).withColumn(
+        "textlen", F.length("text").cast("double")
+    )
+    batch = (
+        with_ewma(batch_df, "textlen")
+        .select("conv_id", "turn_idx", "ewma_textlen")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch)
+    assert np.array_equal(got["ewma"].to_numpy(), batch["ewma_textlen"].to_numpy())
