@@ -124,3 +124,62 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fing
     exact-dedup key at scale (group on 64-bit int, not the raw text)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn(out_col, F.xxhash64(norm))
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS rolling-fingerprint scheme): hash every
+    word k-gram, slide a window of ``window`` consecutive gram hashes,
+    keep the minimum of each window, emit the distinct selected hashes
+    per doc. Guarantees: any shared run of ≥ k+window-1 words between
+    two docs shares at least one selected fingerprint, while storing
+    only ~1/window of the grams.
+
+    All whole-stage codegen: posexplode + lead-window grams (the
+    shingle machinery) + a trailing MIN window + distinct — one shuffle
+    on id_col. Hashes are md5 hex strings so a SQL oracle can reproduce
+    them exactly (xxhash64 is Spark-only); swap to xxhash64 for
+    production compactness. Docs with fewer than ``window`` grams emit
+    the min over all their grams (the last gram's trailing window).
+
+    Output: (id_col, fp string) distinct rows.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    words = F.split(norm, " ")
+    ex = df.select(
+        F.col(id_col),
+        norm.alias("_nt"),
+        F.size(words).alias("_n"),
+        F.posexplode(words).alias("_pos", "_w"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    gram = F.concat_ws(" ", F.col("_w"), *[F.lead("_w", j).over(w) for j in range(1, k)])
+    last = F.lead("_w", k - 1).over(w) if k > 1 else F.col("_w")
+    grams = (
+        ex.withColumn("_gram", gram)
+        .withColumn("_last", last)
+        .filter(((F.col("_n") < k) & (F.col("_pos") == 0)) | F.col("_last").isNotNull())
+        .select(
+            id_col,
+            F.col("_pos"),
+            F.greatest(F.col("_n") - k + 1, F.lit(1)).alias("_ngrams"),
+            F.when(F.col("_n") >= k, F.md5(F.col("_gram")))
+            .otherwise(F.md5(F.col("_nt")))
+            .alias("_gh"),
+        )
+    )
+    wmin = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(-(window - 1), 0)
+    selected = (
+        grams.withColumn("_sel", F.min("_gh").over(wmin))
+        # emit one selection per full window; short docs emit the last
+        # gram's (all-covering) trailing window
+        .filter((F.col("_pos") >= window - 1) | (F.col("_pos") == F.col("_ngrams") - 1))
+        .select(id_col, F.col("_sel").alias("fp"))
+    )
+    return selected.distinct()

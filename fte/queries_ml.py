@@ -319,6 +319,99 @@ FROM s
 """
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing (MOSS rolling-hash) fingerprints per document —
+    distinct selected k-gram md5s (k=3, window=4). md5 keeps the hash
+    family SQL-reproducible, so this is value-checked end to end."""
+    from fte.operators.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=3, window=4)
+
+
+SQL_WINNOW_FP = r"""
+WITH w0 AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN [md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) FOR i IN range(1, len(ws) - 1)]
+              ELSE [md5(nt)] END AS ghs
+  FROM w0
+),
+e AS (
+  SELECT doc_id, unnest(ghs) AS gh, generate_subscripts(ghs, 1) AS pos1, len(ghs) AS ngrams
+  FROM g
+),
+s AS (
+  SELECT doc_id, pos1, ngrams,
+         MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos1
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+  FROM e
+)
+SELECT DISTINCT doc_id, sel AS fp FROM s
+WHERE pos1 >= 4 OR pos1 = ngrams
+"""
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Copy-detection pairs: docs ∪ mutated copies sharing ≥ 3 winnow
+    fingerprints, with the shared count. Winnowing guarantee: any
+    shared run of ≥ k+window-1 (= 6) words shares ≥ 1 fingerprint, so
+    every mutant pair is found."""
+    from fte.operators.text import winnow_fingerprints
+
+    d = _docs_with_mutants(spark, sf_dir)
+    fps = winnow_fingerprints(d, k=3, window=4)
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+SQL_WINNOW_PAIRS = rf"""
+WITH u AS ({SQL_DOCS_MUT}),
+w0 AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+  FROM u
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN [md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) FOR i IN range(1, len(ws) - 1)]
+              ELSE [md5(nt)] END AS ghs
+  FROM w0
+),
+e AS (
+  SELECT doc_id, unnest(ghs) AS gh, generate_subscripts(ghs, 1) AS pos1, len(ghs) AS ngrams
+  FROM g
+),
+s AS (
+  SELECT DISTINCT doc_id, sel FROM (
+    SELECT doc_id, pos1, ngrams,
+           MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos1
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+    FROM e
+  ) WHERE pos1 >= 4 OR pos1 = ngrams
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM s a JOIN s b ON a.sel = b.sel AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+"""
+
+
 # --------------------------------------------------------- similarity
 
 def q_emb_top_pairs(spark, sf_dir):
@@ -524,4 +617,6 @@ def catalog_ml():
         "emb_norms": (q_emb_norms, SQL_EMB_NORMS),
         "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
         "dup_components": (q_dup_components, SQL_DUP_COMPONENTS),
+        "winnow_fp": (q_winnow_fp, SQL_WINNOW_FP),
+        "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     }

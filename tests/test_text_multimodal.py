@@ -112,3 +112,24 @@ def test_frame_sample_plan(spark):
     assert set(plan["asset_id"]) == set(vids["asset_id"])
     one = plan[plan.asset_id == vids["asset_id"].iloc[0]]
     assert (one["ts_ms"] == one["frame_idx"] * 1000).all()
+
+
+def test_winnow_guarantee(spark):
+    """Winnowing theorem: two docs sharing a run of >= k+window-1
+    (= 6) words share at least one selected fingerprint; docs with no
+    common k-gram share none."""
+    from fte.operators.text import winnow_fingerprints
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = [
+        (0, "xx yy " + base + " zz"),
+        (1, base + " completely different ending words here"),
+        (2, "unrelated text with no overlap at all whatsoever in any words"),
+        (3, "tiny doc"),  # < k words -> whole-text fallback fingerprint
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=3, window=4).toPandas()
+    by = {i: set(fps[fps.doc_id == i]["fp"]) for i in range(4)}
+    assert by[0] & by[1], "shared 10-word run must share a fingerprint"
+    assert not (by[0] & by[2])
+    assert len(by[3]) == 1
