@@ -53,7 +53,7 @@ def materialize(n_convs: int = N_CONVS) -> None:
     spark.stop()
 
 
-def worker(n_convs: int) -> None:
+def worker(n_convs: int, runs: int = 5) -> None:
     from pyspark.sql import SparkSession, functions as F
 
     from fte.features import build_default_registry
@@ -80,7 +80,7 @@ def worker(n_convs: int) -> None:
 
     job()  # warm-up (codegen, page cache) — discarded
     times = []
-    for _ in range(5):
+    for _ in range(runs):
         t0 = time.time()
         job()
         times.append(time.time() - t0)
@@ -97,7 +97,7 @@ def worker(n_convs: int) -> None:
     }))
 
 
-def run_level(cores: int, n_convs: int) -> dict:
+def run_level(cores: int, n_convs: int, runs: int = 5) -> dict:
     env = dict(os.environ)
     cmd = [
         "spark-submit",
@@ -111,6 +111,7 @@ def run_level(cores: int, n_convs: int) -> dict:
         "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
         "--py-files", str(REPO / "fte.zip"),
         str(Path(__file__)), "--worker", "--n-convs", str(n_convs),
+        "--runs", str(runs),
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO), env=env)
     m = re.findall(r"^\{.*\}$", out.stdout, re.M)
@@ -126,9 +127,15 @@ def main() -> int:
     ap.add_argument("--n-convs", type=int, default=N_CONVS)
     ap.add_argument("--levels", default="8,32",
                     help="N,4N core counts (4x ratio expected)")
+    ap.add_argument("--rounds", type=int, default=1,
+                    help="interleave lo/hi spark-submits this many times; "
+                    "min per level across ALL rounds. >1 makes the pair "
+                    "share the same wall-clock window, so a co-tenant "
+                    "load storm cannot hit only one level")
+    ap.add_argument("--runs", type=int, default=5)
     args = ap.parse_args()
     if args.worker:
-        worker(args.n_convs)
+        worker(args.n_convs, args.runs)
         return 0
 
     materialize(args.n_convs)
@@ -136,8 +143,25 @@ def main() -> int:
         ["zip", "-qr", "fte.zip", "fte"], cwd=str(REPO), check=True
     )
     lo, hi = (int(x) for x in args.levels.split(","))
-    r8 = run_level(lo, args.n_convs)
-    r32 = run_level(hi, args.n_convs)
+    runs = args.runs if args.rounds == 1 else max(2, args.runs // args.rounds + 1)
+    r8 = r32 = None
+    for _ in range(args.rounds):
+        a = run_level(lo, args.n_convs, runs)
+        b = run_level(hi, args.n_convs, runs)
+        for acc, new in ((0, a), (1, b)):
+            cur = r8 if acc == 0 else r32
+            if cur is None:
+                merged = dict(new)
+            else:
+                merged = dict(cur)
+                merged["runs_s"] = cur["runs_s"] + new["runs_s"]
+                merged["best_s"] = min(cur["best_s"], new["best_s"])
+                merged["median_s"] = round(statistics.median(merged["runs_s"]), 3)
+                merged["turns_per_sec"] = round(merged["n_turns"] / merged["best_s"], 1)
+            if acc == 0:
+                r8 = merged
+            else:
+                r32 = merged
     eff = r32["turns_per_sec"] / (4 * r8["turns_per_sec"])
     report = {
         "levels": [lo, hi],

@@ -93,3 +93,30 @@ def test_time_bucket_counts(spark, transcripts_df, transcripts_pdf):
     )
     assert len(got) == len(ref)
     assert got["n"].sum() == len(transcripts_pdf)
+
+
+def test_ewma_bucket_invariance(spark, transcripts_df):
+    """Bucketed grouped-map EWMA must be invariant to the bucket
+    count and input partitioning (values come from per-conv pandas
+    ewm inside each bucket, so bucketing is pure transport)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fte.operators.windows import with_ewma
+
+    base = transcripts_df.withColumn("textlen", F.length("text").cast("double"))
+    a = (
+        with_ewma(base, "textlen")
+        .select("conv_id", "turn_idx", "ewma_textlen")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        with_ewma(base.repartition(17), "textlen")
+        .select("conv_id", "turn_idx", "ewma_textlen")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(a["ewma_textlen"].to_numpy(), b["ewma_textlen"].to_numpy())
