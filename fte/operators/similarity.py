@@ -336,6 +336,22 @@ def all_pairs_topk_gemm(
 
 # ---------------------------------------------------------------- IVF
 
+def _ivf_assign(df: DataFrame, C: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    """Nearest (max-dot) centroid per row: one numpy GEMM per Arrow
+    batch against the broadcast centroid matrix (ties go to the lowest
+    cell index — np.argmax)."""
+    Cmat = np.ascontiguousarray(C, dtype="float64")
+
+    @pandas_udf("int")
+    def cell_udf(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        V = _stack(vs)
+        return pd.Series(np.argmax(V @ Cmat.T, axis=1).astype("int32"))
+
+    return df.withColumn("ivf_cell", cell_udf(F.col(vec_col)))
+
+
 def ivf_build(
     df: DataFrame, n_cells: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
     seed: int = 42,
@@ -343,12 +359,11 @@ def ivf_build(
     """Assign every row to its nearest (max-dot) centroid.
 
     Centroids are a deterministic sample of the data (k-means init
-    without the iterations — adequate for bucketing; swap in proper
-    k-means offline if cell balance matters). Assignment is one numpy
-    GEMM per Arrow batch against the broadcast centroid matrix (ties
-    go to the lowest cell index — np.argmax). Returns (assigned_df
-    with `ivf_cell`, centroids array). At scale, write the assigned
-    table partitioned by ivf_cell so queries prune cells at the scan.
+    without the iterations — adequate for bucketing; use
+    ``ivf_build_kmeans`` when cell balance matters). Returns
+    (assigned_df with `ivf_cell`, centroids array). At scale, write
+    the assigned table partitioned by ivf_cell so queries prune cells
+    at the scan.
     """
     sample = (
         df.select(vec_col)
@@ -357,15 +372,46 @@ def ivf_build(
         .collect()
     )
     C = np.array([list(r[0]) for r in sample], dtype="float64")
+    return _ivf_assign(df, C, vec_col), C
 
-    @pandas_udf("int")
-    def cell_udf(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype="int32")
-        V = _stack(vs)
-        return pd.Series(np.argmax(V @ C.T, axis=1).astype("int32"))
 
-    assigned = df.withColumn("ivf_cell", cell_udf(F.col(vec_col)))
+def ivf_build_kmeans(
+    df: DataFrame, n_cells: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+    seed: int = 42, iters: int = 3,
+) -> tuple[DataFrame, np.ndarray]:
+    """Spherical k-means refinement of the IVF cells (Lloyd rounds
+    with dot-product assignment and L2-normalized mean recentering —
+    the right variant for cosine ANN).
+
+    Each round is one distributed pass: GEMM assignment (pandas UDF)
+    → posexplode vector components → hash-aggregate per (cell, dim)
+    mean. The shuffle moves only n_cells × dim partial sums per map
+    task (map-side combine), never vectors; the n_cells × dim result
+    collects to the driver (tiny) to become the next round's broadcast
+    matrix. Cells that lose all members keep their previous centroid.
+    """
+    assigned, C = ivf_build(df, n_cells, id_col, vec_col, seed)
+    dim = C.shape[1]
+    for _ in range(iters):
+        means = (
+            assigned.select(
+                "ivf_cell", F.posexplode(_as_double(vec_col)).alias("_i", "_x")
+            )
+            .groupBy("ivf_cell", "_i")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        C2 = C.copy()
+        touched = np.zeros(len(C), dtype=bool)
+        for r in means:
+            C2[r["ivf_cell"], r["_i"]] = r["_m"]
+            touched[r["ivf_cell"]] = True
+        norms = np.linalg.norm(C2, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        C2 = np.where(touched[:, None], C2 / norms, C)
+        C = C2
+        assigned = _ivf_assign(df, C, vec_col)
+    assert C.shape == (len(C), dim)
     return assigned, C
 
 

@@ -205,3 +205,29 @@ def test_embedding_dup_pairs_multi_table(spark, emb_df):
     assert (0, N) in set(map(tuple, multi[["id_a", "id_b"]].to_numpy()))
     assert not multi.duplicated(["id_a", "id_b"]).any()
     assert len(multi) >= len(single)
+
+
+def test_ivf_kmeans_improves_purity(spark, emb_df, emb_pdf):
+    """Spherical k-means rounds must not degrade cell purity on the
+    5-cluster fixture (vectors generated around 5 centers): after
+    refinement, cluster purity is high and at least the init's."""
+    from fte.operators.similarity import ivf_build, ivf_build_kmeans
+
+    truth = emb_pdf["vec_id"].to_numpy() % 5  # generator cluster id
+
+    def purity(assigned):
+        got = assigned.select("vec_id", "ivf_cell").toPandas().sort_values("vec_id")
+        cells = got["ivf_cell"].to_numpy()
+        total = 0
+        for c in np.unique(cells):
+            labels = truth[: len(cells)][cells == c]
+            total += np.bincount(labels).max()
+        return total / len(cells)
+
+    a0, _ = ivf_build(emb_df, n_cells=5)
+    ak, Ck = ivf_build_kmeans(emb_df, n_cells=5, iters=4)
+    p0, pk = purity(a0), purity(ak)
+    assert pk >= p0 - 1e-9, f"k-means degraded purity: {p0} -> {pk}"
+    assert pk >= 0.9, f"refined purity too low: {pk}"
+    # centroids are unit-norm (spherical recentering)
+    assert np.allclose(np.linalg.norm(Ck, axis=1), 1.0, atol=1e-9)
