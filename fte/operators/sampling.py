@@ -1,0 +1,66 @@
+"""Deterministic sampling / splitting / packing for training-data
+pipelines.
+
+Everything here is KEY-STABLE: assignment depends only on
+(key, seed) — no RNG state, no partition order — so the same document
+lands in the same split/bin across runs, incremental batches, and
+cluster sizes. That property is what makes 100 TB train/val splits
+reproducible and leak-free (a conv_id never straddles train and test
+because the split key IS conv_id).
+
+Hashes are md5-prefix uniforms (u = first 32 bits of md5(key||seed) /
+2^32) rather than xxhash64 so a SQL oracle reproduces every assignment
+bit-for-bit; swap the uniform for xxhash64 when oracle parity is not
+needed (same one-projection shape, no shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hash_uniform(key: Column | str, seed: int = 42) -> Column:
+    """u ∈ [0,1): first 32 bits of md5(key || '#seed') over 2^32.
+    Exactly reproducible in SQL: CAST(('0x' || substr(md5(k),1,8)) AS
+    BIGINT) / 4294967296.0 — u is k/2^32, exactly representable as a
+    double, so threshold comparisons are deterministic."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(c.cast("string"), F.lit(f"#{seed}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by cumulative hash-uniform
+    thresholds. Key-stable and leak-safe: split on the ENTITY key
+    (conv_id / doc_id), never on row position, so correlated rows
+    stay together. One projection, no shuffle, no RNG."""
+    total = sum(f for _, f in splits)
+    assert abs(total - 1.0) < 1e-9, f"split fractions must sum to 1, got {total}"
+    u = hash_uniform(key_col, seed)
+    chain = None
+    acc = 0.0
+    for name, frac in splits[:-1]:
+        # round the cumulative threshold so 0.9 + 0.05 is 0.95 exactly
+        # (float drift would desync the thresholds from a SQL oracle's
+        # decimal literals)
+        acc = round(acc + frac, 12)
+        chain = F.when(u < acc, name) if chain is None else chain.when(u < acc, name)
+    last = splits[-1][0]
+    out = last if chain is None else chain.otherwise(last)
+    return df.withColumn(out_col, F.lit(out) if isinstance(out, str) else out)
+
+
+def sample_by_hash(df: DataFrame, key_col: str, fraction: float, seed: int = 42) -> DataFrame:
+    """Deterministic `fraction` sample by key hash — unlike
+    DataFrame.sample, the selected set is a pure function of
+    (key, seed): stable across runs, partitionings, and appends
+    (a re-run or an incremental batch keeps exactly the same keys)."""
+    return df.filter(hash_uniform(key_col, seed) < fraction)

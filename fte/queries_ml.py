@@ -412,6 +412,61 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic key-stable train/val/test split (90/5/5 by
+    md5-uniform of doc_id) — reproducible across runs, batches, and
+    engines, which is what makes web-scale splits leak-free."""
+    from fte.operators.sampling import with_split
+
+    d = _t(spark, sf_dir, "documents")
+    return with_split(d, "doc_id").select("doc_id", "split")
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id,
+       CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT) AS DOUBLE)
+           / CAST(4294967296.0 AS DOUBLE) AS u
+  FROM documents)
+"""
+
+
+def q_pack_bins(spark, sf_dir):
+    """LLM sequence packing: greedy token-capacity bins (2048) within
+    md5 hash shards — (doc, shard, bin, running fill), all
+    deterministic, oracle = per-shard recursive CTE of the same greedy
+    recursion."""
+    from fte.operators.packing import pack_documents
+    from fte.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").withColumn("ws_tokens", token_count("text"))
+    return pack_documents(d, "ws_tokens", capacity=2048, n_shards=16)
+
+
+SQL_PACK_BINS = r"""
+WITH RECURSIVE s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS t,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#p42'), 1, 8)) AS BIGINT) % 16 AS INTEGER) AS shard
+  FROM documents
+),
+o AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM s
+),
+r AS (
+  SELECT doc_id, shard, rn, t AS fill, CAST(0 AS BIGINT) AS bin FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.rn,
+         CASE WHEN r.fill + o.t <= 2048 THEN r.fill + o.t ELSE o.t END AS fill,
+         CASE WHEN r.fill + o.t <= 2048 THEN r.bin ELSE r.bin + 1 END AS bin
+  FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
+)
+SELECT doc_id, shard, bin AS bin_idx, fill AS bin_fill_after FROM r
+"""
+
+
 # --------------------------------------------------------- similarity
 
 def q_emb_top_pairs(spark, sf_dir):
@@ -619,4 +674,6 @@ def catalog_ml():
         "dup_components": (q_dup_components, SQL_DUP_COMPONENTS),
         "winnow_fp": (q_winnow_fp, SQL_WINNOW_FP),
         "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
+        "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+        "pack_bins": (q_pack_bins, SQL_PACK_BINS),
     }

@@ -1,0 +1,64 @@
+"""Deterministic sampling/splitting and sequence packing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from fte.operators.packing import pack_documents
+from fte.operators.sampling import sample_by_hash, with_split
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).selectExpr(
+        "id AS doc_id", "concat('w', repeat(' w', CAST(id % 300 AS INT))) AS text"
+    )
+
+
+def test_split_fractions_and_stability(spark):
+    d = _docs(spark)
+    got = with_split(d, "doc_id").select("doc_id", "split").toPandas()
+    frac = got["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.03
+    assert abs(frac.get("val", 0) - 0.05) < 0.02
+    assert abs(frac.get("test", 0) - 0.05) < 0.02
+    # key-stable: identical assignment regardless of partitioning
+    again = with_split(d.repartition(13), "doc_id").select("doc_id", "split").toPandas()
+    m = got.merge(again, on="doc_id")
+    assert (m["split_x"] == m["split_y"]).all()
+
+
+def test_sample_by_hash_monotone_and_stable(spark):
+    d = _docs(spark)
+    s30 = set(sample_by_hash(d, "doc_id", 0.3).toPandas()["doc_id"])
+    s50 = set(sample_by_hash(d, "doc_id", 0.5).toPandas()["doc_id"])
+    assert s30 <= s50, "raising the fraction must only ADD keys"
+    assert abs(len(s30) / 2000 - 0.3) < 0.04
+    s30b = set(sample_by_hash(d.repartition(7), "doc_id", 0.3).toPandas()["doc_id"])
+    assert s30 == s30b
+
+
+def test_pack_documents_invariants(spark):
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, 1000).withColumn(
+        "n_tok", F.size(F.split("text", " ")).cast("long")
+    )
+    cap = 512
+    got = pack_documents(d, "n_tok", capacity=cap, n_shards=8).toPandas()
+    assert len(got) == 1000 and got["doc_id"].is_unique
+    toks = d.select("doc_id", "n_tok").toPandas().set_index("doc_id")["n_tok"]
+    # bin totals never exceed capacity unless the bin is one oversize doc
+    per_bin = got.assign(t=got["doc_id"].map(toks)).groupby(["shard", "bin_idx"])
+    for (_, _), grp in per_bin:
+        total = grp["t"].sum()
+        assert total <= cap or len(grp) == 1, f"overfull multi-doc bin: {total}"
+    # bins are contiguous 0..max per shard
+    for _, grp in got.groupby("shard"):
+        bins = np.sort(grp["bin_idx"].unique())
+        assert (bins == np.arange(len(bins))).all()
+    # deterministic under repartition
+    again = pack_documents(d.repartition(5), "n_tok", capacity=cap, n_shards=8).toPandas()
+    m = got.merge(again, on="doc_id", suffixes=("_a", "_b"))
+    assert (m["shard_a"] == m["shard_b"]).all()
+    assert (m["bin_idx_a"] == m["bin_idx_b"]).all()
