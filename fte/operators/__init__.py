@@ -24,6 +24,7 @@ from fte.operators.dedup import (
     minhash_lsh_pairs,
     minhash_lsh_dedup,
     simhash_pairs,
+    simhash_candidate_pairs,
     ngram_jaccard_pairs,
     duplicate_components,
 )
@@ -32,17 +33,22 @@ from fte.operators.similarity import (
     knn_join,
     lsh_topk,
     ivf_build,
+    ivf_build_kmeans,
     ivf_topk,
     all_pairs_topk_gemm,
     embedding_dup_pairs,
+    with_l2_norm_arrow,
 )
 from fte.operators.text import (
     with_lang_id,
     with_quality_score,
     with_fingerprint,
+    winnow_fingerprints,
     token_count,
     bpe_ish_token_count,
 )
+from fte.operators.sampling import with_split, sample_by_hash
+from fte.operators.packing import pack_documents
 
 __all__ = [
     "dedup_turns",
@@ -55,18 +61,25 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_lsh_dedup",
     "simhash_pairs",
+    "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "duplicate_components",
     "brute_force_topk",
     "knn_join",
     "lsh_topk",
     "ivf_build",
+    "ivf_build_kmeans",
     "ivf_topk",
     "all_pairs_topk_gemm",
     "embedding_dup_pairs",
+    "with_l2_norm_arrow",
     "with_lang_id",
     "with_quality_score",
     "with_fingerprint",
+    "winnow_fingerprints",
+    "with_split",
+    "sample_by_hash",
+    "pack_documents",
     "token_count",
     "bpe_ish_token_count",
     "sessionize",
