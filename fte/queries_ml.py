@@ -412,6 +412,95 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_curation_funnel(spark, sf_dir):
+    """End-to-end corpus-curation funnel over docs ∪ mutated copies —
+    the composition the individual operators exist for. One row of
+    stage survivor counts:
+      n_total → n_lang_en (lang-ID) → n_quality (score ≥ 0.75)
+      → n_exact_kept (min-id per normalized text)
+      → n_neardup_kept (drop the higher id of every exact-3-gram
+        Jaccard ≥ 0.5 pair among the exact-kept survivors).
+    Every stage reuses an oracle-checked operator, so the whole funnel
+    is SQL-reproducible."""
+    from fte.operators.dedup import ngram_jaccard_pairs
+    from fte.operators.text import with_lang_id, with_quality_score
+
+    d = _docs_with_mutants(spark, sf_dir)
+    scored = with_quality_score(with_lang_id(d))
+    filt = scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.75)
+    )
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    keep = (
+        filt.withColumn("_n", norm)
+        .groupBy("_n")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_kept = filt.join(keep, "doc_id", "left_semi")
+    pairs = ngram_jaccard_pairs(
+        exact_kept.filter(token_count("text") >= 3), k=3, threshold=0.5
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    near_kept = exact_kept.join(losers, "doc_id", "left_anti")
+    stages = [
+        d.agg(F.count("*").alias("n_total")),
+        scored.filter(F.col("lang_pred") == "en").agg(F.count("*").alias("n_lang_en")),
+        filt.agg(F.count("*").alias("n_quality")),
+        exact_kept.agg(F.count("*").alias("n_exact_kept")),
+        near_kept.agg(F.count("*").alias("n_neardup_kept")),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.crossJoin(s)
+    return out
+
+
+def _sql_curation_funnel() -> str:
+    # the lang-ID and quality oracle SQL both scan `documents`; point
+    # them at the shared docs∪mutants CTE instead (nested WITH inside
+    # a CTE body referencing an outer CTE is fine in DuckDB)
+    lang_sql = _sql_lang_id().replace("FROM documents", "FROM u")
+    quality_sql = SQL_DOC_QUALITY.replace("FROM documents", "FROM u")
+    return rf"""
+WITH u AS ({SQL_DOCS_MUT}),
+lang AS ({lang_sql}),
+q AS ({quality_sql}),
+filt AS (
+  SELECT u.doc_id, u.text FROM u
+  JOIN lang ON lang.doc_id = u.doc_id AND lang.lang_pred = 'en'
+  JOIN q ON q.doc_id = u.doc_id AND q.quality_score >= 0.75
+),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM filt GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+),
+exact_kept AS (SELECT f.* FROM filt f JOIN keep k ON k.doc_id = f.doc_id),
+w AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM exact_kept
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) AS grams
+  FROM w WHERE len(ws) >= 3
+),
+losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / GREATEST(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.5
+)
+SELECT
+  (SELECT COUNT(*) FROM u) AS n_total,
+  (SELECT COUNT(*) FROM lang WHERE lang_pred = 'en') AS n_lang_en,
+  (SELECT COUNT(*) FROM filt) AS n_quality,
+  (SELECT COUNT(*) FROM exact_kept) AS n_exact_kept,
+  (SELECT COUNT(*) FROM exact_kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)) AS n_neardup_kept
+"""
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic key-stable train/val/test split (90/5/5 by
     md5-uniform of doc_id) — reproducible across runs, batches, and
@@ -676,4 +765,5 @@ def catalog_ml():
         "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
         "hash_split": (q_hash_split, SQL_HASH_SPLIT),
         "pack_bins": (q_pack_bins, SQL_PACK_BINS),
+        "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     }
