@@ -412,6 +412,64 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_top_terms(spark, sf_dir):
+    """Corpus term statistics: top-50 lowercased whitespace tokens by
+    total occurrences (ties → lexicographic), with document frequency.
+    Explode → two-level hash agg (map-side partials) → global top-k as
+    TakeOrderedAndProject; the classic corpus-stats shape that feeds
+    stopword lists and TF-IDF vocabularies."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " ")
+    tok = d.select("doc_id", F.explode(words).alias("term")).filter(F.col("term") != "")
+    counts = tok.groupBy("term").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    order = [F.desc("n_occurrences"), F.asc("term")]
+    w = Window.orderBy(*order)
+    return (
+        counts.orderBy(*order)
+        .limit(50)
+        .withColumn("term_rank", F.row_number().over(w).cast("long"))
+    )
+
+
+SQL_TOP_TERMS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '),
+                            w -> w <> '')) AS term
+  FROM documents
+),
+c AS (
+  SELECT term, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+  FROM tok GROUP BY term
+)
+SELECT term, n_occurrences, n_docs,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term ASC) AS BIGINT) AS term_rank
+FROM c ORDER BY n_occurrences DESC, term ASC LIMIT 50
+"""
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values per event_type (width 10,
+    clamped to [0, 100)) — the numeric-binning family (width_bucket)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.least(F.greatest(F.floor(F.col("value") / 10), F.lit(0)), F.lit(9)).cast("int")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT event_type,
+       CAST(LEAST(GREATEST(FLOOR(value / 10), 0), 9) AS INTEGER) AS bucket,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_curation_funnel(spark, sf_dir):
     """End-to-end corpus-curation funnel over docs ∪ mutated copies —
     the composition the individual operators exist for. One row of
@@ -766,4 +824,6 @@ def catalog_ml():
         "hash_split": (q_hash_split, SQL_HASH_SPLIT),
         "pack_bins": (q_pack_bins, SQL_PACK_BINS),
         "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
+        "top_terms": (q_top_terms, SQL_TOP_TERMS),
+        "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     }
