@@ -97,6 +97,11 @@ def main() -> int:
         "fte-bench",
         master=f"local[{CPUS}]",
         extra_confs={
+            # cores, not 3x cores: at sf0.1 (513k turns) partitions of
+            # ~16k rows already amortize task overhead, and tripling
+            # them measured SLOWER (16.3s vs 10.3s total) — the 3x rule
+            # only pays at bench_scaling's 12M-turn size where the
+            # whale conversation skews one partition
             "spark.sql.shuffle.partitions": str(max(CPUS, 8)),
             "spark.ui.enabled": "false",
         },
