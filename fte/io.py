@@ -101,6 +101,32 @@ class IcebergIO:
         return spark.read.format("iceberg").load(f"{self.catalog}.{table}")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...] = ("conv_id",),
+    sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    n_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED table (Hive-style bucket metadata in the
+    session catalog): both sides of a join bucketed by the same key
+    and count sort-merge WITHOUT an Exchange — the co-located-join
+    layout for repeated joins on conv_id (feature matrix ⋈ labels,
+    anchors ⋈ turns) at 100 TB, where re-shuffling the fact table per
+    job IS the job. Iceberg's bucket(conv_id, N) hidden partitioning
+    (IcebergIO) carries the same property via storage-partitioned
+    joins; this is the builtin-catalog twin that works offline.
+    """
+    (
+        df.write.bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*sort_cols)
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def table_io(spark: SparkSession, prefer_iceberg: bool = True):
     """Pick the backend: Iceberg when a catalog is live, else parquet."""
     if prefer_iceberg:

@@ -90,3 +90,29 @@ def test_iceberg_io_roundtrip_when_jar_present(spark, transcripts_pdf, tmp_path)
     # idempotent partition overwrite: rewrite everything, count stable
     io.write(df, "db.transcripts", mode="overwrite")
     assert io.read(spark, "db.transcripts").count() == len(transcripts_pdf)
+
+
+def test_bucketed_join_has_no_exchange(spark, transcripts_pdf, tmp_path):
+    """Co-located join: two tables bucketed by conv_id with the same
+    bucket count must sort-merge join with ZERO Exchange (the layout
+    that makes repeated fact-table joins affordable at scale)."""
+    import re
+
+    from fte.io import write_bucketed
+
+    # warehouse.dir is a static conf — managed tables land in the
+    # session default (./spark-warehouse, gitignored); DROP TABLE
+    # removes the data
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA)
+    left = df.selectExpr("conv_id", "turn_idx", "role")
+    right = df.selectExpr("conv_id", "turn_idx", "length(text) AS textlen")
+    write_bucketed(left, "b_left", n_buckets=4)
+    write_bucketed(right, "b_right", n_buckets=4)
+    try:
+        joined = spark.table("b_left").join(spark.table("b_right"), ["conv_id", "turn_idx"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert not re.findall(r"Exchange hashpartitioning", plan), plan
+        assert joined.count() == len(transcripts_pdf)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
