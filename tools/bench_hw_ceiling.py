@@ -64,8 +64,12 @@ def main() -> int:
     lo, hi = (int(x) for x in args.procs.split(","))
     out = {"procs": [lo, hi], "loadavg_start": os.getloadavg()[0]}
     for kind in ("stream", "sort"):
-        best_lo = max(aggregate_rate(lo, kind) for _ in range(args.trials))
-        best_hi = max(aggregate_rate(hi, kind) for _ in range(args.trials))
+        # interleave lo/hi trials so a co-tenant load storm cannot hit
+        # only one side of the ratio; max per level = noise floor
+        pairs = [(aggregate_rate(lo, kind), aggregate_rate(hi, kind))
+                 for _ in range(args.trials)]
+        best_lo = max(p[0] for p in pairs)
+        best_hi = max(p[1] for p in pairs)
         out[kind] = {
             f"rate_{lo}p": round(best_lo, 1),
             f"rate_{hi}p": round(best_hi, 1),
