@@ -46,9 +46,14 @@ from fte.operators.text import (
     winnow_fingerprints,
     token_count,
     bpe_ish_token_count,
+    with_repetition_stats,
+    redact_pii,
+    chunk_documents,
+    bm25_scores,
 )
 from fte.operators.sampling import with_split, sample_by_hash
 from fte.operators.packing import pack_documents
+from fte.operators.pairs import make_training_pairs, render_conversations
 
 __all__ = [
     "dedup_turns",
@@ -77,6 +82,12 @@ __all__ = [
     "with_quality_score",
     "with_fingerprint",
     "winnow_fingerprints",
+    "with_repetition_stats",
+    "redact_pii",
+    "chunk_documents",
+    "bm25_scores",
+    "make_training_pairs",
+    "render_conversations",
     "with_split",
     "sample_by_hash",
     "pack_documents",

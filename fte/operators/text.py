@@ -126,6 +126,198 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fing
     return df.withColumn(out_col, F.xxhash64(norm))
 
 
+def with_repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_distinct_word_ratio: float = 0.2,
+    max_top_word_ratio: float = 0.2,
+    max_dup_bigram_ratio: float = 0.9,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    distinct-word ratio, most-frequent-word dominance, duplicate-bigram
+    fraction, and a composite ``repetition_keep`` flag. Boilerplate-
+    and spam-heavy web text fails these long before perplexity filters
+    see it.
+
+    Scale shape: one posexplode of the normalized words, bigrams via a
+    lead window (sort within doc_id partitions), then a two-level hash
+    aggregate for word counts and one distinct-aggregate for bigrams —
+    all map-side-combining JVM aggregates; the raw text never leaves
+    the initial projection. No interpreted per-token lambdas.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    ex = df.select(F.col(id_col), F.posexplode(F.split(norm, " ")).alias("_pos", "_w"))
+    w_ord = Window.partitionBy(id_col).orderBy("_pos")
+    nxt = F.lead("_w").over(w_ord)
+    ex2 = ex.withColumn(
+        "_bg", F.when(nxt.isNotNull(), F.concat(F.col("_w"), F.lit(" "), nxt))
+    )
+    word_stats = (
+        ex2.groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+            F.max("_c").cast("long").alias("top_word_count"),
+        )
+    )
+    bigram_stats = ex2.groupBy(id_col).agg(
+        F.count_distinct(F.col("_bg")).cast("long").alias("n_distinct_bigrams"),
+        F.count(F.col("_bg")).cast("long").alias("n_bigrams"),
+    )
+    j = word_stats.join(bigram_stats, id_col)
+    dwr = (F.col("n_distinct_words").cast("double") / F.col("n_words")).alias(
+        "distinct_word_ratio"
+    )
+    dbr = F.when(
+        F.col("n_bigrams") > 0,
+        F.lit(1.0) - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        id_col, "n_words", "n_distinct_words", "top_word_count",
+        "n_distinct_bigrams", "n_bigrams",
+        dwr,
+        dbr.alias("dup_bigram_ratio"),
+        (
+            (F.col("n_distinct_words").cast("double") / F.col("n_words")
+             >= F.lit(min_distinct_word_ratio))
+            & (F.col("top_word_count").cast("double") / F.col("n_words")
+               <= F.lit(max_top_word_ratio))
+            & (dbr <= F.lit(max_dup_bigram_ratio))
+        ).alias("repetition_keep"),
+    )
+
+
+# PII patterns: lookaround-free so Java regex (Spark) and RE2 (DuckDB
+# oracle) match identically. Applied in list order; replacement tokens
+# contain no digits so later patterns cannot re-match inside them.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """PII scrub for training corpora: counts each pattern family on
+    the ORIGINAL text (audit columns n_emails/n_phones/n_ssns), then
+    rewrites the text with typed placeholder tokens. Pure codegen
+    (regexp_count / regexp_replace chain), one projection, no shuffle —
+    runs at parquet-scan speed and composes with the curation funnel.
+    """
+    c = F.col(text_col)
+    out = df
+    red = c
+    for name, pat, _ in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}s", F.regexp_count(c, F.lit(pat)).cast("long"))
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn(out_col, red)
+
+
+def chunk_documents(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    chunk_words: int = 32, stride: int = 24,
+) -> DataFrame:
+    """RAG chunking: split each document into overlapping word windows
+    of ``chunk_words`` words every ``stride`` words (trailing chunk may
+    be shorter; overlap = chunk_words - stride). Pure generate —
+    sequence + posexplode + slice + array_join, all codegen, ZERO
+    shuffles: chunking 100 TB is exactly one pass over the scan.
+
+    Output: (id_col, chunk_idx, n_chunk_words, chunk).
+    """
+    c = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    words = F.split(norm, " ")
+    base = df.select(
+        F.col(id_col),
+        words.alias("_ws"),
+        F.size(words).alias("_n"),
+    ).select(
+        id_col, "_ws", "_n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride))
+        ).alias("chunk_idx", "_start"),
+    )
+    return base.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(chunk_words), F.col("_n") - F.col("_start"))
+        .cast("long")
+        .alias("n_chunk_words"),
+        F.array_join(F.slice("_ws", F.col("_start") + 1, chunk_words), " ").alias("chunk"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame, terms: tuple[str, ...], id_col: str = "doc_id",
+    text_col: str = "text", k1: float = 1.2, b: float = 0.75,
+) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones, public) document scores for a
+    fixed bag of query terms. Corpus statistics (per-doc length, per-
+    term document frequency, N, avgdl) come from one explode + hash
+    aggregates; df/avgdl are broadcast (a handful of rows). The final
+    score is a FIXED-ORDER sum of per-term contributions (one conditional
+    aggregate per term) so a SQL oracle reproduces the float bit-for-bit
+    — a SUM over an arbitrary-order group differs in the last ulp.
+
+    At 100 TB the doc-length and df tables would be precomputed once
+    and reused across queries; the declarative form here lets Catalyst
+    reuse the exploded exchange within one plan.
+
+    Output: (id_col, n_words, n_hit_terms, bm25) for docs hitting ≥ 1
+    term.
+    """
+    c = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    tok = df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("_w"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_words"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg(F.col("n_words").cast("double")).alias("_avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("_w").isin(*terms))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    dfreq = tf.groupBy("_w").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    j = (
+        tf.join(F.broadcast(dfreq), "_w")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("_n_docs") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("n_words") / F.col("_avgdl")
+    )
+    j = j.withColumn("_score", idf * F.col("_tf") * F.lit(k1 + 1.0) / denom)
+    per_term = [
+        F.max(F.when(F.col("_w") == t, F.col("_score"))).alias(f"_s{i}")
+        for i, t in enumerate(terms)
+    ]
+    agg = j.groupBy(id_col).agg(
+        # n_words is constant per doc: carrying it through the agg
+        # avoids a second join against (and recompute of) the dl subtree
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        *per_term,
+    )
+    total = F.coalesce(F.col("_s0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    return agg.select(id_col, "n_words", "n_hit_terms", total.alias("bm25"))
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 3, window: int = 4,

@@ -539,7 +539,9 @@ def catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str |
         "knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
     }
     from fte.queries_extra import catalog_extra
+    from fte.queries_pipeline import catalog_pipeline
 
     base.update(catalog_ml())
     base.update(catalog_extra())
+    base.update(catalog_pipeline())
     return base

@@ -1,0 +1,302 @@
+"""Round-2 training-pipeline query/oracle pairs: training-example
+extraction, repetition filters, PII redaction, RAG chunking, BM25.
+
+Same contract as fte.queries: each q_* takes (spark, sf_dir) and has a
+DuckDB oracle twin with identical column names/types. The `events`
+table stands in for transcripts (user_id≈conv_id, ts/event_id≈turn
+order, event_type≈role); `documents` is the curation corpus.
+
+Rendered-turn payloads use only integer ids and enum strings
+(``event_type#event_id``) so Spark and DuckDB format them identically —
+double→string formatting differs between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from fte.operators.pairs import make_training_pairs, render_conversations
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------- training pairs
+
+def q_training_pairs(spark, sf_dir):
+    """(context, response) pairs over the transcript analog: response
+    turns are 'click' events, context is the previous 3 turns rendered
+    ``event_type#event_id``. Exercises make_training_pairs end-to-end
+    (bounded-frame collect_list window, leakage-safe by frame)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_txt", F.concat_ws("#", "event_type", F.col("event_id").cast("string"))
+    )
+    out = make_training_pairs(
+        ev,
+        conv_col="user_id",
+        order_cols=("ts", "event_id"),
+        role_col="event_type",
+        text_col="_txt",
+        response_role="click",
+        context_turns=3,
+        turn_sep=" | ",
+    )
+    # rendered turn = "role: role#id"; ids make every turn unique
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("pair_id"),
+        "n_context",
+        "context",
+        "response",
+    ).orderBy("pair_id")
+
+
+SQL_TRAINING_PAIRS = """
+WITH r AS (
+  SELECT user_id, event_id, ts, event_type,
+         event_type || ': ' || event_type || '#' || CAST(event_id AS VARCHAR) AS rt
+  FROM events
+), w AS (
+  SELECT user_id, event_id, event_type, rt,
+         COUNT(*) OVER fr AS n_context,
+         COALESCE(string_agg(rt, ' | ') OVER fr, '') AS context
+  FROM r
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS pair_id, CAST(n_context AS BIGINT) AS n_context,
+       context, rt AS response
+FROM w WHERE event_type = 'click' ORDER BY pair_id
+"""
+
+
+def q_sft_render(spark, sf_dir):
+    """Whole-conversation SFT rendering: every user's event stream
+    flattened to one ordered chat-template document (one hash agg,
+    in-aggregate array_sort ordering, no window pass)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_txt", F.concat_ws("#", "event_type", F.col("event_id").cast("string"))
+    )
+    out = render_conversations(
+        ev,
+        conv_col="user_id",
+        order_cols=("ts", "event_id"),
+        role_col="event_type",
+        text_col="_txt",
+        turn_sep="\n",
+    )
+    return out.orderBy("user_id")
+
+
+SQL_SFT_RENDER = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       string_agg(event_type || ': ' || event_type || '#' ||
+                  CAST(event_id AS VARCHAR), chr(10) ORDER BY ts, event_id)
+         AS sft_text
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ------------------------------------------------- repetition filters
+
+def q_repetition_stats(spark, sf_dir):
+    from fte.operators.text import with_repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return with_repetition_stats(d).select(
+        "doc_id", "n_words", "n_distinct_words", "top_word_count",
+        "n_distinct_bigrams", "distinct_word_ratio", "dup_bigram_ratio",
+        "repetition_keep",
+    ).orderBy("doc_id")
+
+
+SQL_REPETITION = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM base
+), wc AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w
+), ws AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+         CAST(MAX(c) AS BIGINT) AS top_word_count
+  FROM wc GROUP BY doc_id
+), bg AS (
+  SELECT doc_id, w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM w
+), bs AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT b) AS BIGINT) AS n_distinct_bigrams,
+         CAST(COUNT(b) AS BIGINT) AS n_bigrams
+  FROM bg GROUP BY doc_id
+)
+SELECT ws.doc_id, n_words, n_distinct_words, top_word_count,
+       n_distinct_bigrams,
+       CAST(n_distinct_words AS DOUBLE) / n_words AS distinct_word_ratio,
+       CASE WHEN n_bigrams > 0
+            THEN CAST(1.0 AS DOUBLE) - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+            ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_ratio,
+       (CAST(n_distinct_words AS DOUBLE) / n_words >= CAST(0.2 AS DOUBLE)
+        AND CAST(top_word_count AS DOUBLE) / n_words <= CAST(0.2 AS DOUBLE)
+        AND (CASE WHEN n_bigrams > 0
+                  THEN CAST(1.0 AS DOUBLE) - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+                  ELSE CAST(0.0 AS DOUBLE) END) <= CAST(0.9 AS DOUBLE))
+         AS repetition_keep
+FROM ws JOIN bs USING (doc_id) ORDER BY ws.doc_id
+"""
+
+
+# ------------------------------------------------- PII redaction
+
+def q_pii_redact(spark, sf_dir):
+    """Regex PII scrub over documents. The synthetic corpus carries no
+    PII, so both sides append deterministic PII derived from doc_id
+    (an email, a phone, an SSN-shaped string) and the oracle verifies
+    the redaction machinery on real matches, not on a no-op."""
+    from fte.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-6789."),
+        ).alias("text"),
+    )
+    out = redact_pii(aug)
+    return out.select(
+        "doc_id", "n_emails", "n_phones", "n_ssns", "text_redacted"
+    ).orderBy("doc_id")
+
+
+SQL_PII = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' ssn 123-45-6789.' AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssns,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+         '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS text_redacted
+FROM aug ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------- RAG chunking
+
+def q_chunk_documents(spark, sf_dir):
+    from fte.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_words=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+SQL_CHUNKS = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, words, len(words) AS n,
+         UNNEST(generate_series(0, greatest(len(words) - 1, 0), 24)) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST(start / 24 AS BIGINT) AS chunk_idx,
+       CAST(least(32, n - start) AS BIGINT) AS n_chunk_words,
+       array_to_string(words[start + 1 : start + 32], ' ') AS chunk
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
+# ------------------------------------------------- BM25 retrieval
+
+BM25_QUERY_TERMS = ("spark", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25(spark, sf_dir):
+    from fte.operators.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(d, BM25_QUERY_TERMS, k1=BM25_K1, b=BM25_B)
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+    return top.select(
+        "doc_id",
+        F.col("n_words"),
+        F.col("n_hit_terms"),
+        F.round("bm25", 6).alias("bm25_r"),
+    )
+
+
+SQL_BM25 = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ws) AS w FROM base
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(CAST(n_words AS DOUBLE)) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+  WHERE w IN ('spark', 'join', 'window') GROUP BY doc_id, w
+), df AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY w
+), sc AS (
+  SELECT tf.doc_id, tf.w,
+         ln((stats.n_docs - df.df + CAST(0.5 AS DOUBLE))
+            / (df.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+         * tf.tf * CAST(2.2 AS DOUBLE)
+         / (tf.tf + CAST(1.2 AS DOUBLE) *
+            (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             + CAST(0.75 AS DOUBLE) * dl.n_words / stats.avgdl)) AS s
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+), agg AS (
+  -- fixed-order sum (s0+s1+s2), mirroring the Spark side: an
+  -- arbitrary-order SUM() differs in the last ulp across engines
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         MAX(CASE WHEN w = 'spark'  THEN s END) AS s0,
+         MAX(CASE WHEN w = 'join'   THEN s END) AS s1,
+         MAX(CASE WHEN w = 'window' THEN s END) AS s2
+  FROM sc GROUP BY doc_id
+), total AS (
+  SELECT doc_id, n_hit_terms,
+         COALESCE(s0, CAST(0 AS DOUBLE)) + COALESCE(s1, CAST(0 AS DOUBLE))
+           + COALESCE(s2, CAST(0 AS DOUBLE)) AS bm25
+  FROM agg
+)
+SELECT total.doc_id, dl.n_words, total.n_hit_terms,
+       ROUND(total.bm25, 6) AS bm25_r
+FROM total JOIN dl USING (doc_id)
+ORDER BY total.bm25 DESC, total.doc_id ASC LIMIT 20
+"""
+
+
+def catalog_pipeline():
+    return {
+        "training_pairs": (q_training_pairs, SQL_TRAINING_PAIRS),
+        "sft_render": (q_sft_render, SQL_SFT_RENDER),
+        "repetition_stats": (q_repetition_stats, SQL_REPETITION),
+        "pii_redact": (q_pii_redact, SQL_PII),
+        "doc_chunks": (q_chunk_documents, SQL_CHUNKS),
+        "bm25_topk": (q_bm25, SQL_BM25),
+    }

@@ -1,0 +1,206 @@
+"""Tests for round-2 training-pipeline operators: training-pair
+extraction, SFT rendering, repetition filters, PII redaction, RAG
+chunking, BM25. Engine parity vs hand-computed pandas references on
+the synthetic transcripts fixture + planted adversarial docs."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fte.operators.pairs import make_training_pairs, render_conversations
+from fte.operators.text import (
+    bm25_scores,
+    chunk_documents,
+    redact_pii,
+    with_repetition_stats,
+)
+
+
+# ---------------------------------------------------------------- pairs
+
+def test_training_pairs_match_pandas(spark, transcripts_df, transcripts_pdf):
+    out = (
+        make_training_pairs(
+            transcripts_df, context_turns=4, response_role="assistant"
+        )
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    # pandas reference: per conv, context = previous <=4 rendered turns
+    rows = []
+    pdf = transcripts_pdf.sort_values(["conv_id", "turn_idx"])
+    for conv, g in pdf.groupby("conv_id"):
+        rend = (g["role"] + ": " + g["text"]).tolist()
+        roles = g["role"].tolist()
+        idxs = g["turn_idx"].tolist()
+        for i in range(len(g)):
+            if roles[i] != "assistant":
+                continue
+            ctx = rend[max(0, i - 4):i]
+            rows.append(
+                (conv, idxs[i], len(ctx), "\n".join(ctx), rend[i])
+            )
+    ref = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "n_context", "context", "response"]
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(out) == len(ref) > 0
+    for c in ["conv_id", "turn_idx", "n_context", "context", "response"]:
+        assert out[c].tolist() == ref[c].tolist(), c
+
+
+def test_training_pairs_no_leakage(spark):
+    """The response turn and later turns must never appear in context.
+    Unique per-turn marker tokens make containment checks exact."""
+    rows = [
+        ("c1", i, "assistant" if i % 2 else "user", f"tok{i}x", None,
+         pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    )
+    out = make_training_pairs(df, context_turns=5).toPandas()
+    assert len(out) == 6
+    for _, r in out.iterrows():
+        i = r["turn_idx"]
+        for j in range(i, 12):
+            assert f"tok{j}x" not in r["context"], (i, j)
+        # the immediately preceding turn IS present (i >= 1 here)
+        assert f"tok{i-1}x" in r["context"]
+
+
+def test_render_conversations_order_and_cap(spark):
+    rows = [
+        ("c1", i, "user", f"t{i}", None,
+         pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=100 - i))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    )
+    full = render_conversations(df).toPandas()
+    assert full.loc[0, "n_turns"] == 6
+    # ordered by turn_idx despite reversed timestamps and input order
+    assert full.loc[0, "sft_text"] == "\n".join(f"user: t{i}" for i in range(6))
+    capped = render_conversations(df, max_turns=2).toPandas()
+    assert capped.loc[0, "sft_text"] == "user: t4\nuser: t5"  # LAST 2 turns
+
+
+# ---------------------------------------------------------------- repetition
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+def test_repetition_stats_flags_spam(spark):
+    clean = "the quick brown fox jumps over a lazy dog near the old river bank"
+    spam = "buy now " * 30  # 2 distinct words, all bigrams repeat
+    out = (
+        with_repetition_stats(_docs(spark, [clean, spam]))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert bool(out.loc[0, "repetition_keep"])
+    assert not bool(out.loc[1, "repetition_keep"])
+    # exact values for the spam doc: 60 words, 2 distinct, 59 bigrams,
+    # 2 distinct bigrams ("buy now", "now buy")
+    assert out.loc[1, "n_words"] == 60
+    assert out.loc[1, "n_distinct_words"] == 2
+    assert out.loc[1, "top_word_count"] == 30
+    assert out.loc[1, "n_distinct_bigrams"] == 2
+    assert out.loc[1, "dup_bigram_ratio"] == pytest.approx(1 - 2 / 59)
+
+
+def test_repetition_single_word_doc(spark):
+    out = with_repetition_stats(_docs(spark, ["solo"])).toPandas()
+    assert out.loc[0, "n_words"] == 1
+    assert out.loc[0, "n_distinct_bigrams"] == 0
+    assert out.loc[0, "dup_bigram_ratio"] == 0.0
+
+
+# ---------------------------------------------------------------- PII
+
+def test_redact_pii(spark):
+    txt = (
+        "mail a.b-c_d%x+1@sub.example.co.uk or bob@x.io, call +1-555-0199 "
+        "or 44-201-9999; ssn 987-65-4320 ok digits 12345 stay"
+    )
+    out = redact_pii(_docs(spark, [txt])).toPandas()
+    assert out.loc[0, "n_emails"] == 2
+    assert out.loc[0, "n_phones"] == 2
+    assert out.loc[0, "n_ssns"] == 1
+    red = out.loc[0, "text_redacted"]
+    assert "<EMAIL>" in red and "<PHONE>" in red and "<SSN>" in red
+    assert "@" not in red and "987-65" not in red and "555-0199" not in red
+    assert "digits 12345 stay" in red  # plain numbers untouched
+
+
+# ---------------------------------------------------------------- chunks
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    words = [f"w{i}" for i in range(100)]
+    out = (
+        chunk_documents(_docs(spark, [" ".join(words)]), chunk_words=32, stride=24)
+        .orderBy("chunk_idx")
+        .toPandas()
+    )
+    # starts 0,24,48,72,96 -> 5 chunks
+    assert out["chunk_idx"].tolist() == [0, 1, 2, 3, 4]
+    assert out["n_chunk_words"].tolist() == [32, 32, 32, 28, 4]
+    chunks = [c.split(" ") for c in out["chunk"]]
+    # every word covered, in order, with 8-word overlap between chunks
+    assert chunks[0] == words[0:32]
+    assert chunks[3] == words[72:100]
+    assert chunks[4] == words[96:100]
+    covered = set(w for c in chunks for w in c)
+    assert covered == set(words)
+    assert chunks[0][-8:] == chunks[1][:8]
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    out = chunk_documents(_docs(spark, ["a b c"]), chunk_words=32, stride=24).toPandas()
+    assert len(out) == 1
+    assert out.loc[0, "chunk"] == "a b c"
+    assert out.loc[0, "n_chunk_words"] == 3
+
+
+# ---------------------------------------------------------------- BM25
+
+def test_bm25_matches_closed_form(spark):
+    texts = [
+        "spark join window spark",      # tf: spark 2, join 1, window 1
+        "spark filter scan",            # tf: spark 1
+        "nothing relevant here",        # no hits -> absent from output
+        "join join join join window",   # heavy join doc
+    ]
+    out = (
+        bm25_scores(_docs(spark, texts), ("spark", "join", "window"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert out["doc_id"].tolist() == [0, 1, 3]
+    # closed-form reference
+    dls = [4, 3, 3, 5]
+    avgdl = sum(dls) / 4
+    n_docs = 4.0
+    dfreq = {"spark": 2.0, "join": 2.0, "window": 2.0}
+    k1, b = 1.2, 0.75
+
+    def score(tf, dl, term):
+        idf = math.log((n_docs - dfreq[term] + 0.5) / (dfreq[term] + 0.5) + 1.0)
+        return idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp0 = score(2, 4, "spark") + score(1, 4, "join") + score(1, 4, "window")
+    exp1 = score(1, 3, "spark")
+    exp3 = score(4, 5, "join") + score(1, 5, "window")
+    got = dict(zip(out["doc_id"], out["bm25"]))
+    assert got[0] == pytest.approx(exp0, rel=1e-12)
+    assert got[1] == pytest.approx(exp1, rel=1e-12)
+    assert got[3] == pytest.approx(exp3, rel=1e-12)
+    assert out.set_index("doc_id")["n_hit_terms"].to_dict() == {0: 3, 1: 1, 3: 2}
