@@ -192,6 +192,33 @@ def streaming_ewma(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    operators/dedup.exact_dedup: fingerprint the normalized text
+    (xxhash64, fte.operators.text.with_fingerprint) and keep the FIRST
+    arrival of each fingerprint via ``dropDuplicatesWithinWatermark``.
+
+    Scale contract: state holds only fingerprints seen within the
+    event-time watermark horizon, so state size is bounded by the
+    dup-arrival window, not by corpus size — plain ``dropDuplicates``
+    on a stream grows key state forever and is not viable at 10^12
+    turns. Duplicates farther apart than the watermark are the batch
+    engine's job (exact_dedup over the accumulated table); this
+    operator guarantees the horizon only.
+    """
+    from fte.operators.text import with_fingerprint
+
+    fp = with_fingerprint(stream, text_col)
+    return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )
+
+
 def run_available_now(
     result: DataFrame, checkpoint_dir: str, table_name: str, mode: str = "complete"
 ) -> None:

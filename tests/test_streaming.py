@@ -105,3 +105,46 @@ def test_streaming_ewma_matches_batch(spark, transcripts_pdf, tmp_path):
     )
     assert len(got) == len(batch)
     assert np.array_equal(got["ewma"].to_numpy(), batch["ewma_textlen"].to_numpy())
+
+
+def test_streaming_dedup_matches_batch(spark, transcripts_pdf, tmp_path):
+    """dropDuplicatesWithinWatermark keeps exactly one row per text
+    fingerprint (planted cross-conversation duplicates, several
+    micro-batches), and the kept fingerprint SET equals the batch
+    exact-dedup survivor set."""
+    import pandas as pd
+
+    from fte.operators.dedup import exact_dedup
+    from fte.operators.text import with_fingerprint
+
+    # plant duplicates: copy 25 turns' texts onto new ids, same day
+    base = transcripts_pdf.copy()
+    dups = base.head(25).copy()
+    dups["conv_id"] = "dupconv_" + dups.index.astype(str)
+    dups["turn_idx"] = 0
+    planted = pd.concat([base, dups], ignore_index=True)
+
+    src = str(tmp_path / "src_dedup")
+    (
+        spark.createDataFrame(planted, schema=TRANSCRIPTS_SCHEMA)
+        .repartition(40, "conv_id")
+        .write.parquet(src)
+    )
+    from fte.streaming import streaming_dedup
+
+    stream = stream_transcripts(spark, src)
+    out = streaming_dedup(stream, watermark="365 days")
+    run_available_now(out, str(tmp_path / "ckpt_dedup"), "dedup_stream", mode="append")
+    got = spark.table("dedup_stream").toPandas()
+
+    pl = planted.reset_index(drop=True).reset_index().rename(columns={"index": "row_id"})
+    batch_df = spark.createDataFrame(pl[["row_id", "conv_id", "text"]])
+    batch = exact_dedup(batch_df, id_col="row_id", text_col="text").toPandas()
+    batch_fps = set(
+        with_fingerprint(spark.createDataFrame(planted, schema=TRANSCRIPTS_SCHEMA))
+        .select("fingerprint").distinct().toPandas()["fingerprint"]
+    )
+    # exactly one survivor per distinct fingerprint, same set as batch
+    assert got["fingerprint"].is_unique
+    assert set(got["fingerprint"]) == batch_fps
+    assert len(got) == len(batch)
