@@ -47,6 +47,17 @@ HEADLINE = [
     "pandas_udaf_median",
 ]
 
+# round-2 additions, timed and reported per-query but EXCLUDED from the
+# headline total so BENCH_r{N} totals stay comparable round-over-round
+EXTRA = [
+    "training_pairs",
+    "sft_render",
+    "repetition_stats",
+    "pii_redact",
+    "doc_chunks",
+    "bm25_topk",
+]
+
 # synthetic transcript scale per sf dir (turns ≈ n_convs × ~15)
 N_CONVS = {"sf0.001": 400, "sf0.01": 4000, "sf0.1": 40000}
 
@@ -123,6 +134,12 @@ def main() -> int:
     times["feature_matrix"] = round(fm_sec, 3)
 
     total = round(sum(times.values()), 3)
+
+    for name in EXTRA:
+        fn, _sql = cat[name]
+        df = fn(spark, SF_DIR)
+        _noop(df)  # warm-up
+        times[name] = round(_time_min(df), 3)
     print(
         json.dumps(
             {
