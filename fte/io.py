@@ -127,6 +127,58 @@ def write_bucketed(
     )
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    lenient: bool = False,
+    **options: str,
+) -> DataFrame:
+    """Declared-schema CSV scan (the reference's native ingest format:
+    FeatureHub loads CSVs with pandas dtype inference [U: session
+    _load_dataset]; at 100 TB schema inference is an EXTRA FULL PASS
+    over the input, so this engine requires the schema and never
+    infers).
+
+    Strict by default (FAILFAST: one malformed row kills the job — the
+    right default for curated ingest). ``lenient=True`` switches to
+    PERMISSIVE with a ``_corrupt_record`` column so bad rows are
+    quarantined for inspection instead of silently nulled: filter
+    ``_corrupt_record IS NOT NULL`` to a reject sink.
+    """
+    from pyspark.sql import types as T
+
+    opts = {"header": "true", "mode": "FAILFAST", **options}
+    if lenient:
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+        )
+        opts["mode"] = "PERMISSIVE"
+        opts["columnNameOfCorruptRecord"] = "_corrupt_record"
+    return spark.read.options(**opts).schema(schema).csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema,
+    lenient: bool = False,
+    **options: str,
+) -> DataFrame:
+    """Declared-schema JSON-lines scan (the common chat-transcript
+    export format). Same strict/lenient contract as read_csv."""
+    from pyspark.sql import types as T
+
+    opts = {"mode": "FAILFAST", **options}
+    if lenient:
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+        )
+        opts["mode"] = "PERMISSIVE"
+        opts["columnNameOfCorruptRecord"] = "_corrupt_record"
+    return spark.read.options(**opts).schema(schema).json(path)
+
+
 def table_io(spark: SparkSession, prefer_iceberg: bool = True):
     """Pick the backend: Iceberg when a catalog is live, else parquet."""
     if prefer_iceberg:

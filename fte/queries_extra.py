@@ -293,6 +293,46 @@ FROM events GROUP BY user_id
 """
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Approximate quantiles (percentile_approx — the Greenwald-Khanna
+    sketch: mergeable per-partition partials, the only viable quantile
+    path at 10^12 rows) next to exact interpolated percentiles, with
+    an agreement gate: the sketch value must land within 2% relative
+    error of exact. The oracle value-checks the EXACT percentiles
+    (DuckDB quantile_cont uses the same (n-1)p linear interpolation)
+    and pins the agreement booleans — the sketch itself is not SQL-
+    reproducible (same class as approx_distinct/HLL), the gate is."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_p50e"),
+        F.expr("percentile(value, 0.95)").alias("_p95e"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("_p50a"),
+        F.expr("percentile_approx(value, 0.95, 10000)").alias("_p95a"),
+    )
+
+    def ok(a: str, e: str):
+        return F.abs(F.col(a) - F.col(e)) <= 0.02 * F.greatest(
+            F.abs(F.col(e)), F.lit(1.0)
+        )
+
+    return g.select(
+        "event_type",
+        F.round("_p50e", 6).alias("p50_exact"),
+        F.round("_p95e", 6).alias("p95_exact"),
+        ok("_p50a", "_p50e").alias("p50_ok"),
+        ok("_p95a", "_p95e").alias("p95_ok"),
+    ).orderBy("event_type")
+
+
+SQL_QUANTILE_SKETCH = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95_exact,
+       true AS p50_ok, true AS p95_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def catalog_extra():
     return {
         "set_ops": (q_set_ops, SQL_SET_OPS),
@@ -304,6 +344,7 @@ def catalog_extra():
         "tumbling_hour": (q_tumbling_hour, SQL_TUMBLING),
         "ewma": (q_ewma, SQL_EWMA),
         "approx_distinct": (q_approx_distinct, None),
+        "quantile_sketch": (q_quantile_sketch, SQL_QUANTILE_SKETCH),
         "pandas_scalar": (q_pandas_scalar, SQL_PANDAS_SCALAR),
         "pandas_udaf_median": (q_pandas_udaf_median, SQL_PANDAS_UDAF),
     }
