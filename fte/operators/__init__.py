@@ -20,6 +20,8 @@ from fte.operators.windows import dedup_turns, with_ewma, with_time_bucket_count
 from fte.operators.skew import salted_join, salted_group_count
 from fte.operators.ingest import merge_late_batch
 from fte.operators.dedup import (
+    contaminated_ids,
+    decontaminate,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_lsh_dedup,
@@ -69,6 +71,8 @@ __all__ = [
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "duplicate_components",
+    "contaminated_ids",
+    "decontaminate",
     "brute_force_topk",
     "knn_join",
     "lsh_topk",

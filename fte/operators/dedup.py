@@ -43,7 +43,7 @@ def _norm_words(col: Column | str) -> Column:
 
 def shingle_rows(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
-    distinct: bool = True,
+    distinct: bool = True, hashed: bool = True,
 ) -> DataFrame:
     """Exploded (id, shingle_hash) rows — the engine's canonical
     shingle form.
@@ -54,6 +54,10 @@ def shingle_rows(
     shorter than k words fall back to one whole-text hash. One shuffle
     on id_col (the window), which downstream signature aggregation
     reuses.
+
+    ``hashed=False`` emits the raw gram STRING instead of its xxhash64
+    (for SQL-oracle-checked consumers — xxhash64 is Spark-only; the
+    scale path stays hashed: 8-byte keys instead of ~100-byte grams).
     """
     from pyspark.sql import Window
 
@@ -75,9 +79,12 @@ def shingle_rows(
         .filter(((F.col("_n") < k) & (F.col("_pos") == 0)) | F.col("_last").isNotNull())
         .select(
             id_col,
-            F.when(F.col("_n") >= k, F.xxhash64(F.col("_gram")))
-            .otherwise(F.xxhash64(F.col("_nt")))
-            .alias("shingle"),
+            (
+                F.when(F.col("_n") >= k, F.xxhash64(F.col("_gram")))
+                .otherwise(F.xxhash64(F.col("_nt")))
+                if hashed
+                else F.when(F.col("_n") >= k, F.col("_gram")).otherwise(F.col("_nt"))
+            ).alias("shingle"),
         )
     )
     return grams.distinct() if distinct else grams
@@ -452,3 +459,48 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ----------------------------------------------- benchmark decontamination
+
+def contaminated_ids(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    hashed: bool = True,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Training docs sharing ANY word n-gram with a benchmark doc —
+    the GPT-3-style eval-decontamination overlap rule (13-gram overlap;
+    Brown et al. 2020 appendix C, public). Docs shorter than n words
+    match only on their exact normalized text (shingle_rows fallback).
+
+    Scale shape: benchmark suites are tiny next to the corpus, so the
+    distinct bench gram set is BROADCAST and the corpus side is a
+    broadcast left-semi join — the 100 TB train grams never shuffle on
+    the gram key; the only wide exchange is shingle_rows' window on
+    id_col. ``hashed=False`` joins on raw gram strings (SQL-oracle
+    parity); production uses 64-bit xxhash64 grams.
+    """
+    tg = shingle_rows(train, id_col, text_col, k=n, hashed=hashed)
+    bg = shingle_rows(bench, id_col, text_col, k=n, hashed=hashed).select(
+        "shingle"
+    ).distinct()
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    return tg.join(bg, "shingle", "left_semi").select(id_col).distinct()
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    **kw,
+) -> DataFrame:
+    """Drop contaminated training docs (see contaminated_ids)."""
+    bad = contaminated_ids(train, bench, id_col, text_col, n, **kw)
+    return train.join(bad, id_col, "left_anti")

@@ -291,6 +291,51 @@ ORDER BY total.bm25 DESC, total.doc_id ASC LIMIT 20
 """
 
 
+# ------------------------------------------------- decontamination
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (13-gram overlap, GPT-3 appx C): the
+    'benchmark' is the 20-word normalized prefix of every 25th doc, so
+    contamination is via a PARTIAL n-gram match, not whole-doc
+    equality. Expected contaminated set = exactly those source docs
+    (random word-soup 13-gram collisions across other docs are
+    ~30^-13). hashed=False joins raw gram strings so DuckDB reproduces
+    the join; production uses xxhash64 grams (8-byte broadcast keys)."""
+    from fte.operators.dedup import contaminated_ids
+
+    d = _t(spark, sf_dir, "documents")
+    norm_words = F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " ")
+    bench = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(norm_words, 1, 20), " ").alias("text"),
+    )
+    bad = contaminated_ids(d, bench, n=13, hashed=False)
+    return bad.orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = r"""
+WITH tw AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), tg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ws[i : i + 12], ' ') AS gram
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 12, 1))) AS i
+        FROM tw)
+), bw AS (
+  SELECT list_slice(string_split_regex(lower(trim(text)), '\s+'), 1, 20) AS ws
+  FROM documents WHERE doc_id % 25 = 0
+), bg AS (
+  SELECT DISTINCT array_to_string(ws[i : i + 12], ' ') AS gram
+  FROM (SELECT ws,
+               unnest(generate_series(1, greatest(len(ws) - 12, 1))) AS i
+        FROM bw)
+)
+SELECT DISTINCT doc_id FROM tg JOIN bg USING (gram) ORDER BY doc_id
+"""
+
+
 def catalog_pipeline():
     return {
         "training_pairs": (q_training_pairs, SQL_TRAINING_PAIRS),
@@ -299,4 +344,5 @@ def catalog_pipeline():
         "pii_redact": (q_pii_redact, SQL_PII),
         "doc_chunks": (q_chunk_documents, SQL_CHUNKS),
         "bm25_topk": (q_bm25, SQL_BM25),
+        "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     }

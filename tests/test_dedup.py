@@ -174,3 +174,39 @@ def test_simhash_max_bucket_guard(spark):
     pairs = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
     assert (100, 101) in pairs
     assert not any(a < 30 and b < 30 for a, b in pairs)
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A train doc embedding >=13 consecutive benchmark words is
+    contaminated; clean docs survive; a short (<13-word) bench doc
+    matches only its exact normalized text."""
+    import pandas as pd
+
+    from fte.operators.dedup import contaminated_ids, decontaminate
+
+    bench_sent = " ".join(f"b{i}" for i in range(15))  # 15 words
+    train = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "intro words then " + bench_sent + " trailing words",  # contaminated
+            "totally clean text with its own distinct vocabulary here ok",
+            " ".join(f"b{i}" for i in range(12)),  # 12-word PREFIX: no full 13-gram
+            "Tiny  Quiz",  # matches short bench doc after normalization
+        ],
+    }))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": [bench_sent, "tiny quiz"],
+    }))
+    bad = set(
+        r["doc_id"] for r in contaminated_ids(train, bench, n=13).collect()
+    )
+    assert bad == {0, 3}
+    kept = decontaminate(train, bench, n=13)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
+    # string-gram mode agrees with the hashed mode
+    bad_str = set(
+        r["doc_id"]
+        for r in contaminated_ids(train, bench, n=13, hashed=False).collect()
+    )
+    assert bad_str == bad
