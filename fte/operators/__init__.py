@@ -53,7 +53,7 @@ from fte.operators.text import (
     chunk_documents,
     bm25_scores,
 )
-from fte.operators.sampling import with_split, sample_by_hash
+from fte.operators.sampling import with_split, sample_by_hash, sample_sources
 from fte.operators.packing import pack_documents
 from fte.operators.pairs import make_training_pairs, render_conversations
 
@@ -94,6 +94,7 @@ __all__ = [
     "render_conversations",
     "with_split",
     "sample_by_hash",
+    "sample_sources",
     "pack_documents",
     "token_count",
     "bpe_ish_token_count",

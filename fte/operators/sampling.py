@@ -64,3 +64,33 @@ def sample_by_hash(df: DataFrame, key_col: str, fraction: float, seed: int = 42)
     (key, seed): stable across runs, partitionings, and appends
     (a re-run or an incremental batch keeps exactly the same keys)."""
     return df.filter(hash_uniform(key_col, seed) < fraction)
+
+
+def sample_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    default_weight: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Dataset mixing: keep each row with the probability assigned to
+    its source (e.g. {'web': 0.3, 'wiki': 1.0, 'forums': 0.6}) — the
+    mixture-reweighting step before training. Key-stable like
+    everything in this module: a document's fate depends only on
+    (key, seed), so mixtures are reproducible across runs, cluster
+    sizes, and incremental batches, and MONOTONE — raising a source's
+    weight only ADDS documents (the kept set at w1 ⊆ kept set at w2
+    for w1 ≤ w2), so mixture sweeps reuse work. One projection over a
+    CASE on the bounded source domain; no shuffle, no RNG state.
+
+    Sources absent from ``weights`` keep ``default_weight`` (1.0 =
+    pass through; set 0.0 to drop unknown sources).
+    """
+    u = hash_uniform(key_col, seed)
+    w = None
+    for s, frac in weights.items():
+        cond = F.col(source_col) == s
+        w = F.when(cond, F.lit(float(frac))) if w is None else w.when(cond, F.lit(float(frac)))
+    w = F.lit(float(default_weight)) if w is None else w.otherwise(F.lit(float(default_weight)))
+    return df.filter(u < w)

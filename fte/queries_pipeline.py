@@ -291,6 +291,39 @@ ORDER BY total.bm25 DESC, total.doc_id ASC LIMIT 20
 """
 
 
+# ------------------------------------------------- dataset mixing
+
+def q_source_mix(spark, sf_dir):
+    """Mixture reweighting: downsample src0 to 20%, src1 to 60%, keep
+    everything else (key-stable md5 uniforms — the same document
+    survives at any parallelism). Output: per-source survivor counts."""
+    from fte.operators.sampling import sample_sources
+
+    d = _t(spark, sf_dir, "documents")
+    mixed = sample_sources(d, {"src0": 0.2, "src1": 0.6}, seed=42)
+    return (
+        mixed.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+SQL_SOURCE_MIX = """
+WITH u AS (
+  SELECT source,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT) AS DOUBLE)
+           / CAST(4294967296.0 AS DOUBLE) AS u
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM u
+WHERE u < CASE source WHEN 'src0' THEN CAST(0.2 AS DOUBLE)
+                      WHEN 'src1' THEN CAST(0.6 AS DOUBLE)
+                      ELSE CAST(1.0 AS DOUBLE) END
+GROUP BY source ORDER BY source
+"""
+
+
 # ------------------------------------------------- decontamination
 
 def q_decontaminate(spark, sf_dir):
@@ -345,4 +378,5 @@ def catalog_pipeline():
         "doc_chunks": (q_chunk_documents, SQL_CHUNKS),
         "bm25_topk": (q_bm25, SQL_BM25),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "source_mix": (q_source_mix, SQL_SOURCE_MIX),
     }

@@ -62,3 +62,38 @@ def test_pack_documents_invariants(spark):
     m = got.merge(again, on="doc_id", suffixes=("_a", "_b"))
     assert (m["shard_a"] == m["shard_b"]).all()
     assert (m["bin_idx_a"] == m["bin_idx_b"]).all()
+
+
+def test_sample_sources_monotone_and_stable(spark):
+    """Raising a source's weight only ADDS documents; assignment is
+    independent of partitioning; unknown sources honor default."""
+    import pandas as pd
+
+    from fte.operators.sampling import sample_sources
+
+    pdf = pd.DataFrame({
+        "doc_id": range(400),
+        "source": ["a", "b", "c", "d"] * 100,
+        "text": "x",
+    })
+    df = spark.createDataFrame(pdf)
+
+    def kept(weights, default=1.0, data=None):
+        return set(
+            r["doc_id"]
+            for r in sample_sources(
+                data if data is not None else df, weights, default_weight=default
+            ).collect()
+        )
+
+    lo = kept({"a": 0.2, "b": 0.5})
+    hi = kept({"a": 0.6, "b": 0.9})
+    assert lo < hi  # strict subset: monotone in weights
+    # unknown sources: default 1.0 keeps all c/d; default 0.0 drops them
+    assert {i for i in lo if i % 4 >= 2} == {i for i in range(400) if i % 4 >= 2}
+    assert all(i % 4 < 2 for i in kept({"a": 0.2, "b": 0.5}, default=0.0))
+    # partitioning-independent
+    assert kept({"a": 0.2, "b": 0.5}, data=df.repartition(13)) == lo
+    # empirical rate in the right ballpark (100 keys per source)
+    n_a = sum(1 for i in lo if i % 4 == 0)
+    assert 8 <= n_a <= 35  # 20% of 100 ± binomial noise
