@@ -318,6 +318,47 @@ def bm25_scores(
     return agg.select(id_col, "n_words", "n_hit_terms", total.alias("bm25"))
 
 
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the cheap stand-in for
+    CCNet-style LM perplexity filtering (Wenzek et al. 2020, public):
+    documents whose words are atypical for the corpus (spam, boiler-
+    plate, wrong language) score high.  xent(d) = mean over tokens of
+    -ln p(w), with additive smoothing p(w) = (c_w + a)/(N + a·V).
+
+    Scale shape: one explode + hash aggregate builds the vocabulary
+    (bounded by corpus vocab, not corpus size) which is BROADCAST back
+    onto the token stream; the per-doc mean is a second hash aggregate
+    on id_col. The corpus never shuffles on the word key beyond the
+    vocab count. In production the vocab table is computed once and
+    reused across scoring runs.
+
+    Output: (id_col, n_words, xent) — lower xent = more corpus-typical.
+    """
+    c = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    tok = df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("_w"))
+    vocab = tok.groupBy("_w").agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    totals = vocab.agg(
+        F.sum("_c").alias("_n_total"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    a = float(smoothing)
+    scored = tok.join(F.broadcast(vocab), "_w").crossJoin(F.broadcast(totals))
+    logp = F.log(
+        (F.col("_c") + F.lit(a)) / (F.col("_n_total") + F.lit(a) * F.col("_v"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.avg(-logp).alias("xent"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 3, window: int = 4,

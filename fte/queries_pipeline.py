@@ -324,6 +324,40 @@ GROUP BY source ORDER BY source
 """
 
 
+# ------------------------------------------------- unigram LM scoring
+
+def q_unigram_xent(spark, sf_dir):
+    """Unigram-LM cross-entropy per document (CCNet-style perplexity
+    filter stand-in), value-checked to 6 decimals."""
+    from fte.operators.text import unigram_logprob_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = unigram_logprob_scores(d)
+    return out.select(
+        "doc_id", "n_words", F.round("xent", 6).alias("xent_r")
+    ).orderBy("doc_id")
+
+
+SQL_UNIGRAM_XENT = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ws) AS w FROM base
+), vocab AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY w
+), totals AS (
+  SELECT SUM(c) AS n_total, CAST(COUNT(*) AS DOUBLE) AS v FROM vocab
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       ROUND(AVG(-ln((vocab.c + CAST(0.5 AS DOUBLE))
+                     / (totals.n_total + CAST(0.5 AS DOUBLE) * totals.v))), 6)
+         AS xent_r
+FROM tok JOIN vocab USING (w) CROSS JOIN totals
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------- decontamination
 
 def q_decontaminate(spark, sf_dir):
@@ -379,4 +413,5 @@ def catalog_pipeline():
         "bm25_topk": (q_bm25, SQL_BM25),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "source_mix": (q_source_mix, SQL_SOURCE_MIX),
+        "unigram_xent": (q_unigram_xent, SQL_UNIGRAM_XENT),
     }

@@ -204,3 +204,39 @@ def test_bm25_matches_closed_form(spark):
     assert got[1] == pytest.approx(exp1, rel=1e-12)
     assert got[3] == pytest.approx(exp3, rel=1e-12)
     assert out.set_index("doc_id")["n_hit_terms"].to_dict() == {0: 3, 1: 1, 3: 2}
+
+
+# ---------------------------------------------------------------- unigram LM
+
+def test_unigram_xent_flags_atypical_docs(spark):
+    """Docs made of corpus-typical words score lower cross-entropy than
+    a doc of rare words; values match a closed-form numpy reference."""
+    import math
+
+    from fte.operators.text import unigram_logprob_scores
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "zyxqj vvqpz kkjxw zzzzq wwwwx qqqqy",  # all-rare doc
+    ]
+    out = (
+        unigram_logprob_scores(_docs(spark, texts))
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # closed form
+    words = [t.split() for t in texts]
+    from collections import Counter
+
+    c = Counter(w for ws in words for w in ws)
+    n, v, a = sum(c.values()), len(c), 0.5
+
+    def xent(ws):
+        return sum(-math.log((c[w] + a) / (n + a * v)) for w in ws) / len(ws)
+
+    for i in range(3):
+        assert out.loc[i, "xent"] == pytest.approx(xent(words[i]), rel=1e-12)
+        assert out.loc[i, "n_words"] == len(words[i])
+    assert out.loc[2, "xent"] > out.loc[0, "xent"] + 0.5  # rare >> typical
