@@ -56,6 +56,9 @@ EXTRA = [
     "pii_redact",
     "doc_chunks",
     "bm25_topk",
+    "decontaminate",
+    "unigram_xent",
+    "source_mix",
 ]
 
 # synthetic transcript scale per sf dir (turns ≈ n_convs × ~15)

@@ -48,44 +48,45 @@ def shingle_rows(
     """Exploded (id, shingle_hash) rows — the engine's canonical
     shingle form.
 
-    posexplode + window-lead + xxhash64, all whole-stage-codegen
-    (measured ~40x faster than a higher-order `transform` building
-    per-row arrays: HOF lambdas are interpreted per element). Docs
-    shorter than k words fall back to one whole-text hash. One shuffle
-    on id_col (the window), which downstream signature aggregation
-    reuses.
+    Grams come straight off the per-doc words array: ``sequence`` of
+    gram starts → ``posexplode`` → ``slice`` + ``array_join`` — every
+    step whole-stage codegen, NO interpreted higher-order lambdas
+    (~100 µs/element, the round-1 40× trap) and, unlike the previous
+    k-chained-``lead`` window formulation, NO shuffle at all: shingling
+    100 TB is one pass over the scan, and the downstream consumer
+    (minhash aggregate / LSH distinct / decontamination semi-join)
+    introduces the only exchange. The lead-window version also
+    serialized on small inputs (one 3.6 s task at sf0.1 — 12 window
+    expressions per row); this form is ~7× faster there and
+    embarrassingly parallel at any scale. Docs shorter than k words
+    fall back to one whole-text gram.
 
     ``hashed=False`` emits the raw gram STRING instead of its xxhash64
     (for SQL-oracle-checked consumers — xxhash64 is Spark-only; the
     scale path stays hashed: 8-byte keys instead of ~100-byte grams).
     """
-    from pyspark.sql import Window
-
     c = F.col(text_col)
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     words = F.split(norm, " ")
-    ex = df.select(
+    base = df.select(
         F.col(id_col),
-        norm.alias("_nt"),
+        words.alias("_ws"),
         F.size(words).alias("_n"),
-        F.posexplode(words).alias("_pos", "_w"),
+    ).select(
+        id_col,
+        "_ws",
+        "_n",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("_n") - k, F.lit(0)))
+        ).alias("_i"),
     )
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    gram = F.concat_ws(" ", F.col("_w"), *[F.lead("_w", j).over(w) for j in range(1, k)])
-    last = F.lead("_w", k - 1).over(w)
-    grams = (
-        ex.withColumn("_gram", gram)
-        .withColumn("_last", last)
-        .filter(((F.col("_n") < k) & (F.col("_pos") == 0)) | F.col("_last").isNotNull())
-        .select(
-            id_col,
-            (
-                F.when(F.col("_n") >= k, F.xxhash64(F.col("_gram")))
-                .otherwise(F.xxhash64(F.col("_nt")))
-                if hashed
-                else F.when(F.col("_n") >= k, F.col("_gram")).otherwise(F.col("_nt"))
-            ).alias("shingle"),
-        )
+    gram = F.when(
+        F.col("_n") >= k,
+        F.array_join(F.slice("_ws", F.col("_i") + 1, k), " "),
+    ).otherwise(F.array_join("_ws", " "))
+    grams = base.select(
+        id_col,
+        (F.xxhash64(gram) if hashed else gram).alias("shingle"),
     )
     return grams.distinct() if distinct else grams
 

@@ -385,9 +385,12 @@ def winnow_fingerprints(
     c = F.col(text_col)
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     words = F.split(norm, " ")
+    # _nt only feeds the short-doc fallback; null it out for docs with
+    # >= k words so the exploded rows don't ship the whole text per
+    # word through the window shuffle (O(doc_len x n_words) bytes)
     ex = df.select(
         F.col(id_col),
-        norm.alias("_nt"),
+        F.when(F.size(words) < F.lit(k), norm).alias("_nt"),
         F.size(words).alias("_n"),
         F.posexplode(words).alias("_pos", "_w"),
     )
