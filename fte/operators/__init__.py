@@ -40,6 +40,7 @@ from fte.operators.similarity import (
     all_pairs_topk_gemm,
     embedding_dup_pairs,
     with_l2_norm_arrow,
+    mean_pool_embeddings,
 )
 from fte.operators.text import (
     with_lang_id,
@@ -82,6 +83,7 @@ __all__ = [
     "all_pairs_topk_gemm",
     "embedding_dup_pairs",
     "with_l2_norm_arrow",
+    "mean_pool_embeddings",
     "with_lang_id",
     "with_quality_score",
     "with_fingerprint",

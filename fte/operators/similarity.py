@@ -427,3 +427,44 @@ def ivf_topk(
     sim = _cosine_q_udf(qv)(F.col(vec_col))
     scored = cand.select(id_col, sim.alias("cos_sim"))
     return _topk_with_rank(scored, [F.desc("cos_sim"), F.asc(id_col)], k)
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Per-group mean pooling of a vector column (turn embeddings →
+    one conversation embedding; chunk embeddings → one doc embedding)
+    WITHOUT Python: posexplode the components, hash-aggregate the
+    per-(group, position) means (map-side partial combine — the
+    shuffle carries (group, pos, sum, count), never whole vectors
+    twice), then reassemble the pooled vector in-aggregate
+    (array_sort(collect_list(struct(pos, mean))) + struct-field
+    extraction — no interpreted transform lambda).
+
+    Two exchanges ((group,pos) then group) of fixed-width rows; at
+    10^9 vectors × d dims this is the standard distributed pooling
+    shape. Output: (group_col, n_vecs, pooled array<double>).
+    """
+    ex = df.select(
+        F.col(group_col),
+        F.col(vec_col).alias("_v"),
+    ).select(
+        group_col,
+        F.posexplode("_v").alias("_pos", "_x"),
+    )
+    comp = ex.groupBy(group_col, "_pos").agg(
+        F.avg(F.col("_x").cast("double")).alias("_m"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    agg = comp.groupBy(group_col).agg(
+        (F.sum("_c") / F.count(F.lit(1))).cast("long").alias("n_vecs"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_pos").alias("p"), F.col("_m").alias("m")))
+        ).alias("_a"),
+    )
+    return agg.select(
+        group_col, "n_vecs", F.col("_a").getField("m").alias(out_col)
+    )

@@ -324,6 +324,41 @@ GROUP BY source ORDER BY source
 """
 
 
+# ------------------------------------------------- embedding pooling
+
+def q_emb_pool(spark, sf_dir):
+    """Mean-pool embeddings into 50 groups (vec_id % 50 — the stand-in
+    for conv_id over the embeddings table), flattened back to
+    (group, pos, mean) rows so every component is value-checked."""
+    from fte.operators.similarity import mean_pool_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "grp", (F.col("vec_id") % 50).cast("long")
+    )
+    pooled = mean_pool_embeddings(e, "grp")
+    return pooled.select(
+        "grp",
+        "n_vecs",
+        F.posexplode("pooled").alias("pos", "m"),
+    ).select(
+        "grp", "n_vecs", F.col("pos").cast("long").alias("pos"),
+        F.round("m", 6).alias("m_r"),
+    ).orderBy("grp", "pos")
+
+
+SQL_EMB_POOL = """
+WITH ex AS (
+  SELECT vec_id % 50 AS grp,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(pos AS BIGINT) AS pos, ROUND(AVG(x), 6) AS m_r
+FROM ex GROUP BY grp, pos ORDER BY grp, pos
+"""
+
+
 # ------------------------------------------------- unigram LM scoring
 
 def q_unigram_xent(spark, sf_dir):
@@ -414,4 +449,5 @@ def catalog_pipeline():
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "source_mix": (q_source_mix, SQL_SOURCE_MIX),
         "unigram_xent": (q_unigram_xent, SQL_UNIGRAM_XENT),
+        "emb_pool": (q_emb_pool, SQL_EMB_POOL),
     }

@@ -231,3 +231,31 @@ def test_ivf_kmeans_improves_purity(spark, emb_df, emb_pdf):
     assert pk >= 0.9, f"refined purity too low: {pk}"
     # centroids are unit-norm (spherical recentering)
     assert np.allclose(np.linalg.norm(Ck, axis=1), 1.0, atol=1e-9)
+
+
+def test_mean_pool_embeddings_matches_numpy(spark):
+    """Distributed mean pooling == numpy mean over each group, with
+    deterministic component order and correct group sizes."""
+    import numpy as np
+    import pandas as pd
+
+    from fte.operators.similarity import mean_pool_embeddings
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    pdf = pd.DataFrame({
+        "vec_id": range(30),
+        "grp": [i % 3 for i in range(30)],
+        "embedding": [v.tolist() for v in vecs],
+    })
+    out = (
+        mean_pool_embeddings(spark.createDataFrame(pdf), "grp")
+        .orderBy("grp")
+        .toPandas()
+    )
+    assert out["n_vecs"].tolist() == [10, 10, 10]
+    for _, r in out.iterrows():
+        expect = vecs[np.arange(30) % 3 == r["grp"]].astype("float64").mean(axis=0)
+        got = np.array(r["pooled"])
+        assert got.shape == (8,)
+        np.testing.assert_allclose(got, expect, rtol=1e-12)
