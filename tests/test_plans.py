@@ -75,3 +75,36 @@ def test_broadcast_in_pruned_merge_asof(spark, anchors_df, transcripts_df):
 
     plan = _plan(asof_join_merge(anchors_df, transcripts_df))
     assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
+
+
+def test_pipeline_operator_plan_shapes(spark, transcripts_df):
+    """Scale-critical plan properties of the round-2 pipeline ops:
+    chunking and shingling are pure scan passes (ZERO exchanges),
+    training-pair extraction shuffles exactly once (the conv window),
+    decontamination matches grams via a BROADCAST semi-join (the
+    corpus never shuffles on the gram key)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fte.operators.dedup import contaminated_ids, shingle_rows
+    from fte.operators.pairs import make_training_pairs
+    from fte.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(10), "text": ["alpha beta gamma delta"] * 10})
+    )
+
+    plan = _plan(chunk_documents(docs, chunk_words=3, stride=2))
+    assert _n_exchanges(plan) == 0, "chunking must not shuffle"
+
+    plan = _plan(shingle_rows(docs, k=3, distinct=False))
+    assert _n_exchanges(plan) == 0, "shingling must not shuffle"
+
+    plan = _plan(make_training_pairs(transcripts_df))
+    assert _n_exchanges(plan) == 1, "pair extraction = one conv_id shuffle"
+
+    bench = docs.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    plan = _plan(contaminated_ids(docs, bench, n=3))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, (
+        "bench grams must broadcast; corpus must not shuffle on gram key"
+    )
