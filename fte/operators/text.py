@@ -138,24 +138,21 @@ def with_repetition_stats(
     and spam-heavy web text fails these long before perplexity filters
     see it.
 
-    Scale shape: one posexplode of the normalized words, bigrams via a
-    lead window (sort within doc_id partitions), then a two-level hash
-    aggregate for word counts and one distinct-aggregate for bigrams —
-    all map-side-combining JVM aggregates; the raw text never leaves
-    the initial projection. No interpreted per-token lambdas.
+    Scale shape: words and bigrams both come straight off the per-doc
+    words array (explode for words; sequence → slice → array_join for
+    bigrams — the shingle_rows pattern), so the gram construction is
+    pure scan-side codegen with ZERO shuffles; the only exchanges are
+    the map-side-combining hash aggregates on (id, gram). The raw text
+    never leaves the initial projection, and no interpreted per-token
+    lambdas. (A lead-window formulation forced a doc_id sort shuffle
+    before any aggregation — same trap as the old shingle_rows.)
     """
-    from pyspark.sql import Window
-
     c = F.col(text_col)
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
-    ex = df.select(F.col(id_col), F.posexplode(F.split(norm, " ")).alias("_pos", "_w"))
-    w_ord = Window.partitionBy(id_col).orderBy("_pos")
-    nxt = F.lead("_w").over(w_ord)
-    ex2 = ex.withColumn(
-        "_bg", F.when(nxt.isNotNull(), F.concat(F.col("_w"), F.lit(" "), nxt))
-    )
+    words = F.split(norm, " ")
+    ex = df.select(F.col(id_col), F.explode(words).alias("_w"))
     word_stats = (
-        ex2.groupBy(id_col, "_w")
+        ex.groupBy(id_col, "_w")
         .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy(id_col)
         .agg(
@@ -164,11 +161,28 @@ def with_repetition_stats(
             F.max("_c").cast("long").alias("top_word_count"),
         )
     )
-    bigram_stats = ex2.groupBy(id_col).agg(
+    bg = df.select(
+        F.col(id_col),
+        words.alias("_ws"),
+        F.size(words).alias("_n"),
+    ).select(
+        id_col,
+        F.explode(
+            F.when(
+                F.col("_n") >= 2, F.sequence(F.lit(0), F.col("_n") - 2)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_i"),
+        "_ws",
+    ).select(
+        id_col, F.array_join(F.slice("_ws", F.col("_i") + 1, 2), " ").alias("_bg")
+    )
+    bigram_stats = bg.groupBy(id_col).agg(
         F.count_distinct(F.col("_bg")).cast("long").alias("n_distinct_bigrams"),
         F.count(F.col("_bg")).cast("long").alias("n_bigrams"),
     )
-    j = word_stats.join(bigram_stats, id_col)
+    j = word_stats.join(bigram_stats, id_col, "left").na.fill(
+        0, ["n_distinct_bigrams", "n_bigrams"]
+    )
     dwr = (F.col("n_distinct_words").cast("double") / F.col("n_words")).alias(
         "distinct_word_ratio"
     )
