@@ -40,6 +40,10 @@ def data_path(n_convs: int) -> str:
     return f"/tmp/fte_scaling_transcripts_{n_convs}.parquet"
 
 
+def docs_path(n_convs: int) -> str:
+    return f"/tmp/fte_scaling_documents_{n_convs}.parquet"
+
+
 def materialize(n_convs: int = N_CONVS) -> None:
     from fte.conf import get_spark
     from fte.synth import gen_transcripts_df
@@ -51,6 +55,79 @@ def materialize(n_convs: int = N_CONVS) -> None:
                       extra_confs={"spark.ui.enabled": "false"})
     gen_transcripts_df(spark, n_convs).write.mode("overwrite").parquet(DATA)
     spark.stop()
+
+
+def materialize_docs(n_convs: int = N_CONVS) -> None:
+    """One document per conversation (render_conversations over the
+    scaling transcripts) — the corpus for the dedup scaling job."""
+    from fte.conf import get_spark
+    from fte.operators.pairs import render_conversations
+    from fte.schema import TRANSCRIPTS_SCHEMA
+
+    DOCS = docs_path(n_convs)
+    if Path(DOCS, "_SUCCESS").exists():
+        return
+    materialize(n_convs)
+    spark = get_spark("fte-scaling-docgen", master="local[32]",
+                      extra_confs={"spark.ui.enabled": "false"})
+    t = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(data_path(n_convs))
+    docs = render_conversations(t).select(
+        F_col("conv_id").alias("doc_id"), F_col("sft_text").alias("text")
+    )
+    docs.write.mode("overwrite").parquet(DOCS)
+    spark.stop()
+
+
+def F_col(name):
+    from pyspark.sql import functions as F
+
+    return F.col(name)
+
+
+def worker_dedup(n_convs: int, runs: int = 5) -> None:
+    """Second scaling workload, explode/agg-bound where the matrix job
+    is window-bound: MinHash-LSH near-dup candidates over one document
+    per conversation (shingle explode → 32-way min hash aggregate →
+    banded self-join) plus the Gopher repetition gate. This is the
+    curation engine's hot loop at 100 TB."""
+    import statistics as _st
+
+    from pyspark.sql import SparkSession
+
+    from fte.operators.dedup import minhash_lsh_pairs
+    from fte.operators.text import with_repetition_stats
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    d = spark.read.parquet(docs_path(n_convs))
+    n_docs = d.count()
+
+    # max_bucket: rendered synthetic conversations are heavily
+    # templated (measured on 20k docs: p99 band-bucket size 14, max
+    # 3208 — one bucket alone would emit ~5M candidate pairs), exactly
+    # the boilerplate-heavy-web-corpus failure mode the guard exists
+    # for. Capped, candidates stay linear in corpus size.
+    pairs = minhash_lsh_pairs(d, verify=False, max_bucket=256)
+    rep = with_repetition_stats(d)
+
+    def job():
+        pairs.write.format("noop").mode("overwrite").save()
+        rep.write.format("noop").mode("overwrite").save()
+
+    job()  # warm-up — discarded
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        job()
+        times.append(time.time() - t0)
+    best = min(times)
+    print(json.dumps({
+        "best_s": round(best, 3),
+        "median_s": round(_st.median(times), 3),
+        "runs_s": [round(t, 3) for t in times],
+        "n_turns": n_docs,  # unit = docs for this job
+        "turns_per_sec": round(n_docs / best, 1),
+    }))
 
 
 def worker(n_convs: int, runs: int = 5) -> None:
@@ -97,7 +174,7 @@ def worker(n_convs: int, runs: int = 5) -> None:
     }))
 
 
-def run_level(cores: int, n_convs: int, runs: int = 5) -> dict:
+def run_level(cores: int, n_convs: int, runs: int = 5, job: str = "matrix") -> dict:
     env = dict(os.environ)
     cmd = [
         "spark-submit",
@@ -114,7 +191,7 @@ def run_level(cores: int, n_convs: int, runs: int = 5) -> dict:
         "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
         "--py-files", str(REPO / "fte.zip"),
         str(Path(__file__)), "--worker", "--n-convs", str(n_convs),
-        "--runs", str(runs),
+        "--runs", str(runs), "--job", job,
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO), env=env)
     m = re.findall(r"^\{.*\}$", out.stdout, re.M)
@@ -136,12 +213,18 @@ def main() -> int:
                     "share the same wall-clock window, so a co-tenant "
                     "load storm cannot hit only one level")
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--job", default="matrix", choices=("matrix", "dedup"),
+                    help="matrix = window-bound feature matrix (the spec "
+                    "metric); dedup = explode/agg-bound MinHash-LSH + "
+                    "repetition gate over one doc per conversation")
     args = ap.parse_args()
     if args.worker:
-        worker(args.n_convs, args.runs)
+        (worker if args.job == "matrix" else worker_dedup)(args.n_convs, args.runs)
         return 0
 
     materialize(args.n_convs)
+    if args.job == "dedup":
+        materialize_docs(args.n_convs)
     subprocess.run(
         ["zip", "-qr", "fte.zip", "fte"], cwd=str(REPO), check=True
     )
@@ -149,8 +232,8 @@ def main() -> int:
     runs = args.runs if args.rounds == 1 else max(2, args.runs // args.rounds + 1)
     r8 = r32 = None
     for _ in range(args.rounds):
-        a = run_level(lo, args.n_convs, runs)
-        b = run_level(hi, args.n_convs, runs)
+        a = run_level(lo, args.n_convs, runs, args.job)
+        b = run_level(hi, args.n_convs, runs, args.job)
         for acc, new in ((0, a), (1, b)):
             cur = r8 if acc == 0 else r32
             if cur is None:
@@ -198,7 +281,17 @@ and `spark.sql.shuffle.partitions` differ.
 bandwidth, so this proxy under-reports what separate executors get).
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
-    out_md = REPO / "BENCH" / f"scaling_{lo}to{hi}.md"
+    suffix = "" if args.job == "matrix" else f"_{args.job}"
+    out_md = REPO / "BENCH" / f"scaling{suffix}_{lo}to{hi}.md"
+    if args.job != "matrix":
+        md = md.replace(
+            "Job = scan → serve-time feature\nmatrix (all window features, "
+            "one conv_id shuffle, text pruned from the\nExchange) → noop sink.",
+            f"Job ({args.job}) = MinHash-LSH near-dup candidates (shingle "
+            "explode → 32-way min-hash aggregate → banded self-join) + "
+            "Gopher repetition gate over one document per conversation; "
+            "unit = docs/sec.",
+        )
     out_md.write_text(md)
     return 0
 
