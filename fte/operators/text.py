@@ -433,3 +433,41 @@ def winnow_fingerprints(
         .select(id_col, F.col("_sel").alias("fp"))
     )
     return selected.distinct()
+
+
+def chunk_documents_udtf(
+    spark, df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    chunk_words: int = 32, stride: int = 24,
+) -> DataFrame:
+    """Python UDTF twin of ``chunk_documents`` — the SURVEY §2.B
+    UDTF-surface demo (table function fan-out via LATERAL join),
+    Arrow-optimized (``useArrow=True``: batched transfer, not the
+    banned row-at-a-time scalar-UDF path). Exists to exercise the surface
+    and as the extension point for chunkers that genuinely need Python
+    (model-based sentence segmentation); the whole-stage-codegen
+    ``chunk_documents`` remains the 100 TB path — same output,
+    parity-tested.
+    """
+    from pyspark.sql.functions import udtf
+
+    cw, st = int(chunk_words), int(stride)
+
+    @udtf(returnType="chunk_idx: bigint, n_chunk_words: bigint, chunk: string",
+          useArrow=True)
+    class ChunkDoc:
+        def eval(self, text: str):
+            words = " ".join(str(text or "").strip().lower().split()).split(" ")
+            n = len(words)
+            for ci, start in enumerate(range(0, max(n - 1, 0) + 1, st)):
+                piece = words[start:start + cw]
+                yield ci, len(piece), " ".join(piece)
+
+    name = f"fte_chunk_doc_{cw}_{st}"
+    spark.udtf.register(name, ChunkDoc)
+    df.select(F.col(id_col), F.col(text_col).alias("_t")).createOrReplaceTempView(
+        f"_{name}_in"
+    )
+    return spark.sql(
+        f"SELECT i.{id_col}, c.chunk_idx, c.n_chunk_words, c.chunk "
+        f"FROM _{name}_in i, LATERAL {name}(_t) c"
+    )

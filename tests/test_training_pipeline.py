@@ -240,3 +240,27 @@ def test_unigram_xent_flags_atypical_docs(spark):
         assert out.loc[i, "xent"] == pytest.approx(xent(words[i]), rel=1e-12)
         assert out.loc[i, "n_words"] == len(words[i])
     assert out.loc[2, "xent"] > out.loc[0, "xent"] + 0.5  # rare >> typical
+
+
+# ---------------------------------------------------------------- UDTF
+
+def test_chunk_udtf_matches_codegen_chunker(spark):
+    """The Arrow UDTF surface (LATERAL table function) produces exactly
+    the codegen chunker's output on the same docs."""
+    from fte.operators.text import chunk_documents, chunk_documents_udtf
+
+    texts = [" ".join(f"w{i}" for i in range(n)) for n in (100, 40, 3, 1)]
+    docs = _docs(spark, texts)
+    a = (
+        chunk_documents(docs, chunk_words=32, stride=24)
+        .orderBy("doc_id", "chunk_idx")
+        .toPandas()
+    )
+    b = (
+        chunk_documents_udtf(spark, docs, chunk_words=32, stride=24)
+        .orderBy("doc_id", "chunk_idx")
+        .toPandas()
+    )
+    assert a[["doc_id", "chunk_idx", "n_chunk_words", "chunk"]].equals(
+        b[["doc_id", "chunk_idx", "n_chunk_words", "chunk"]]
+    )
