@@ -471,3 +471,76 @@ def chunk_documents_udtf(
         f"SELECT i.{id_col}, c.chunk_idx, c.n_chunk_words, c.chunk "
         f"FROM _{name}_in i, LATERAL {name}(_t) c"
     )
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: dict[int, tuple[str, ...]],
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch BM25 retrieval: top-k docs for EVERY query in one pass —
+    the retrieval-join shape (mirrors knn_join for embeddings). The
+    query table (query_id, term) is tiny and BROADCAST onto the token
+    stream; corpus statistics (dl, df-per-(query,term), avgdl) are the
+    same one-explode aggregates as bm25_scores; per-query top-k uses a
+    (query-partitioned) window over the scored docs — each query's
+    candidate set, not the corpus, flows through its window partition.
+
+    Scale: one corpus explode feeds everything; df/avgdl broadcast; the
+    only corpus-sized shuffles are the (doc,term) and doc aggregates.
+    Output: (query_id, rank, doc_id, n_hit_terms, bm25).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qrows = [(int(q), t) for q, terms in queries.items() for t in terms]
+    qdf = spark.createDataFrame(qrows, "query_id int, _w string")
+
+    c = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    tok = df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("_w"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_words"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg(F.col("n_words").cast("double")).alias("_avgdl"),
+    )
+    # hits per (query, doc, term): broadcast the query-term table onto
+    # the token stream, then count
+    tf = (
+        tok.join(F.broadcast(qdf), "_w")
+        .groupBy("query_id", id_col, "_w")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    dfreq = tf.groupBy("query_id", "_w").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    j = (
+        tf.join(F.broadcast(dfreq), ["query_id", "_w"])
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("_n_docs") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("n_words") / F.col("_avgdl")
+    )
+    scored = (
+        j.withColumn("_s", idf * F.col("_tf") * F.lit(k1 + 1.0) / denom)
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            F.sum("_s").alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "n_hit_terms", "bm25")
+    )

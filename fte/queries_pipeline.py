@@ -291,6 +291,77 @@ ORDER BY total.bm25 DESC, total.doc_id ASC LIMIT 20
 """
 
 
+# ------------------------------------------------- batch retrieval
+
+BM25_BATCH_QUERIES = {
+    0: ("spark", "join"),
+    1: ("window", "filter"),
+    2: ("scan", "table", "value"),
+}
+
+
+def q_bm25_batch(spark, sf_dir):
+    """Batch BM25: top-5 docs for each of 3 term-bag queries in one
+    pass (broadcast query-term table onto one corpus explode)."""
+    from fte.operators.text import bm25_topk_batch
+
+    d = _t(spark, sf_dir, "documents")
+    out = bm25_topk_batch(d, BM25_BATCH_QUERIES, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "rank",
+        "doc_id",
+        "n_hit_terms",
+        F.round("bm25", 6).alias("bm25_r"),
+    ).orderBy("query_id", "rank")
+
+
+SQL_BM25_BATCH = r"""
+WITH q(query_id, w) AS (
+  VALUES (0, 'spark'), (0, 'join'),
+         (1, 'window'), (1, 'filter'),
+         (2, 'scan'), (2, 'table'), (2, 'value')
+), base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ws) AS w FROM base
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(CAST(n_words AS DOUBLE)) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT q.query_id, tok.doc_id, tok.w, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok JOIN q ON tok.w = q.w
+  GROUP BY q.query_id, tok.doc_id, tok.w
+), df AS (
+  SELECT query_id, w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY query_id, w
+), scored AS (
+  SELECT tf.query_id, tf.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         SUM(
+           ln((stats.n_docs - df.df + CAST(0.5 AS DOUBLE))
+              / (df.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+           * tf.tf * CAST(2.2 AS DOUBLE)
+           / (tf.tf + CAST(1.2 AS DOUBLE) *
+              (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+               + CAST(0.75 AS DOUBLE) * dl.n_words / stats.avgdl))
+         ) AS bm25
+  FROM tf JOIN df USING (query_id, w) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, n_hit_terms, bm25,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, n_hit_terms, ROUND(bm25, 6) AS bm25_r
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 # ------------------------------------------------- dataset mixing
 
 def q_source_mix(spark, sf_dir):
@@ -450,4 +521,5 @@ def catalog_pipeline():
         "source_mix": (q_source_mix, SQL_SOURCE_MIX),
         "unigram_xent": (q_unigram_xent, SQL_UNIGRAM_XENT),
         "emb_pool": (q_emb_pool, SQL_EMB_POOL),
+        "bm25_batch": (q_bm25_batch, SQL_BM25_BATCH),
     }

@@ -264,3 +264,34 @@ def test_chunk_udtf_matches_codegen_chunker(spark):
     assert a[["doc_id", "chunk_idx", "n_chunk_words", "chunk"]].equals(
         b[["doc_id", "chunk_idx", "n_chunk_words", "chunk"]]
     )
+
+
+def test_bm25_batch_consistent_with_single(spark):
+    """Each query's batch-retrieval ranking equals the single-query
+    bm25_scores ranking over the same corpus."""
+    from fte.operators.text import bm25_scores, bm25_topk_batch
+
+    texts = [
+        "spark join window spark",
+        "spark filter scan",
+        "window filter window filter scan",
+        "join join join join window",
+        "table scan value table",
+    ]
+    docs = _docs(spark, texts)
+    queries = {0: ("spark", "join"), 1: ("window", "filter")}
+    batch = (
+        bm25_topk_batch(docs, queries, k=5)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    for qid, terms in queries.items():
+        single = (
+            bm25_scores(docs, terms)
+            .orderBy(F.desc("bm25"), F.asc("doc_id"))
+            .toPandas()
+        )
+        got = batch[batch["query_id"] == qid]
+        assert got["doc_id"].tolist() == single["doc_id"].tolist()[:5]
+        for g, s in zip(got["bm25"], single["bm25"]):
+            assert g == pytest.approx(s, rel=1e-12)
