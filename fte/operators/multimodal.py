@@ -154,3 +154,76 @@ def synth_assets_pdf(n: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["asset_id", "modality", "mime", "width", "height", "duration_ms", "data"]
     )
+
+
+def audio_window_plan(
+    assets: DataFrame, window_ms: int = 1000, hop_ms: int = 500
+) -> DataFrame:
+    """Audio windowing *plan* (the audio twin of frame_sample_plan):
+    one row per overlapping analysis window — (asset_id, window_idx,
+    start_ms, end_ms). Pure JVM sequence + explode, zero Python; the
+    decode/resample of each planned window goes through the same
+    Arrow ``_decode_*`` seam as images (codecs stubbed offline)."""
+    aud = assets.filter(F.col("modality") == "audio").select(
+        "asset_id", "duration_ms"
+    )
+    return (
+        aud.filter(F.col("duration_ms").isNotNull())
+        .select(
+            "asset_id",
+            "duration_ms",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(hop_ms),
+                )
+            ).alias("window_idx", "start_ms"),
+        )
+        .select(
+            "asset_id",
+            F.col("window_idx").cast("long").alias("window_idx"),
+            F.col("start_ms").cast("long").alias("start_ms"),
+            F.least(F.col("start_ms") + window_ms, F.col("duration_ms"))
+            .cast("long")
+            .alias("end_ms"),
+        )
+    )
+
+
+MODALITY_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_assets", T.LongType(), False),
+        T.StructField("total_bytes", T.LongType(), False),
+        T.StructField("mean_bytes", T.DoubleType(), False),
+    ]
+)
+
+
+def modality_summary_arrow(assets: DataFrame) -> DataFrame:
+    """Per-modality size summary via grouped ``applyInArrow`` — the
+    zero-copy grouped-map Arrow surface (SURVEY §2.B UDF table lists
+    applyInPandas/mapInArrow; this exercises the remaining variant).
+    Binary columns stay as Arrow buffers end-to-end: no pandas object
+    boxing of the blobs, which matters when each group carries GBs of
+    asset bytes. Parity-tested against the plain JVM aggregate."""
+    import pyarrow as pa
+
+    def summarize(tbl: "pa.Table") -> "pa.Table":
+        n = tbl.num_rows
+        modality = tbl.column("modality")[0].as_py() if n else None
+        sizes = pa.compute.binary_length(tbl.column("data"))
+        total = pa.compute.sum(sizes).as_py() or 0
+        return pa.table(
+            {
+                "modality": [modality],
+                "n_assets": pa.array([n], pa.int64()),
+                "total_bytes": pa.array([total], pa.int64()),
+                "mean_bytes": pa.array([total / n if n else 0.0], pa.float64()),
+            }
+        )
+
+    return assets.groupBy("modality").applyInArrow(
+        summarize, schema=MODALITY_SUMMARY_SCHEMA
+    )

@@ -133,3 +133,51 @@ def test_winnow_guarantee(spark):
     assert by[0] & by[1], "shared 10-word run must share a fingerprint"
     assert not (by[0] & by[2])
     assert len(by[3]) == 1
+
+
+def test_audio_window_plan(spark):
+    from fte.operators.multimodal import ASSET_SCHEMA, audio_window_plan, synth_assets_pdf
+
+    assets = spark.createDataFrame(synth_assets_pdf(30), schema=ASSET_SCHEMA)
+    plan = audio_window_plan(assets, window_ms=1000, hop_ms=500).toPandas()
+    src = synth_assets_pdf(30)
+    audio = src[src["modality"] == "audio"]
+    assert set(plan["asset_id"]) == set(audio["asset_id"])
+    for aid, g in plan.groupby("asset_id"):
+        dur = int(audio.set_index("asset_id").loc[aid, "duration_ms"])
+        g = g.sort_values("window_idx")
+        # hop spacing, window bound, full coverage, monotone ids
+        assert g["window_idx"].tolist() == list(range(len(g)))
+        assert (g["start_ms"] == g["window_idx"] * 500).all()
+        assert (g["end_ms"] <= dur).all()
+        assert ((g["end_ms"] - g["start_ms"]) <= 1000).all()
+        assert g["start_ms"].iloc[-1] < dur <= g["start_ms"].iloc[-1] + 500 + 1
+
+
+def test_modality_summary_applyinarrow_matches_jvm(spark):
+    import pyspark.sql.functions as F
+
+    from fte.operators.multimodal import (
+        ASSET_SCHEMA,
+        modality_summary_arrow,
+        synth_assets_pdf,
+    )
+
+    assets = spark.createDataFrame(synth_assets_pdf(60), schema=ASSET_SCHEMA)
+    got = (
+        modality_summary_arrow(assets).orderBy("modality").toPandas()
+    )
+    ref = (
+        assets.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assets"),
+            F.sum(F.length("data")).cast("long").alias("total_bytes"),
+        )
+        .withColumn("mean_bytes", F.col("total_bytes") / F.col("n_assets"))
+        .orderBy("modality")
+        .toPandas()
+    )
+    assert got["modality"].tolist() == ref["modality"].tolist()
+    assert got["n_assets"].tolist() == ref["n_assets"].tolist()
+    assert got["total_bytes"].tolist() == ref["total_bytes"].tolist()
+    assert got["mean_bytes"].tolist() == ref["mean_bytes"].tolist()
