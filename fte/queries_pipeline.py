@@ -395,6 +395,56 @@ GROUP BY source ORDER BY source
 """
 
 
+# ------------------------------------------------- percentile gate
+
+def q_xent_percentile_gate(spark, sf_dir):
+    """Per-source quality-percentile gate (the CCNet bucket step):
+    keep each source's best 75% of documents by unigram cross-entropy.
+    Ranking uses ROUND(xent,6) + doc_id so the cut is reproducible
+    across engines (raw-double ordering can flip ulp-adjacent docs)."""
+    from pyspark.sql import Window
+
+    from fte.operators.text import unigram_logprob_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob_scores(d).join(d.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(F.round("xent", 6), F.asc("doc_id"))
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.75)
+        .select("source", "doc_id", F.round("xent", 6).alias("xent_r"))
+        .orderBy("source", "doc_id")
+    )
+
+
+SQL_XENT_GATE = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ws) AS w FROM base
+), vocab AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY w
+), totals AS (
+  SELECT SUM(c) AS n_total, CAST(COUNT(*) AS DOUBLE) AS v FROM vocab
+), xent AS (
+  SELECT doc_id,
+         ROUND(AVG(-ln((vocab.c + CAST(0.5 AS DOUBLE))
+                       / (totals.n_total + CAST(0.5 AS DOUBLE) * totals.v))), 6)
+           AS xent_r
+  FROM tok JOIN vocab USING (w) CROSS JOIN totals
+  GROUP BY doc_id
+), ranked AS (
+  SELECT d.source, x.doc_id, x.xent_r,
+         PERCENT_RANK() OVER (PARTITION BY d.source
+                              ORDER BY x.xent_r, x.doc_id) AS pr
+  FROM xent x JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, xent_r FROM ranked
+WHERE pr <= CAST(0.75 AS DOUBLE) ORDER BY source, doc_id
+"""
+
+
 # ------------------------------------------------- embedding pooling
 
 def q_emb_pool(spark, sf_dir):
@@ -522,4 +572,5 @@ def catalog_pipeline():
         "unigram_xent": (q_unigram_xent, SQL_UNIGRAM_XENT),
         "emb_pool": (q_emb_pool, SQL_EMB_POOL),
         "bm25_batch": (q_bm25_batch, SQL_BM25_BATCH),
+        "xent_percentile_gate": (q_xent_percentile_gate, SQL_XENT_GATE),
     }
