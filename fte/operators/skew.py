@@ -68,3 +68,24 @@ def salted_group_count(
     )
     partial = salted.groupBy(*keys, "_salt").agg(F.count("*").alias("_c"))
     return partial.groupBy(*keys).agg(F.sum("_c").alias("n"))
+
+
+def key_skew_report(
+    df, key_col: str, top_n: int = 10
+):
+    """Skew diagnostics: the top-N heaviest keys with their share of
+    all rows — the measurement that decides whether a join needs
+    salting (fte.operators.skew.salted_join) or AQE skew-split alone.
+    One hash aggregate on the key + a TakeOrderedAndProject for the
+    top-N + a broadcast single-row total; nothing corpus-sized moves
+    twice. Output: (key, n_rows, share) ordered by n_rows desc."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").cast("double").alias("_total"))
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_n)
+    return top.crossJoin(F.broadcast(total)).select(
+        "key", "n_rows", (F.col("n_rows") / F.col("_total")).alias("share")
+    )

@@ -395,6 +395,67 @@ GROUP BY source ORDER BY source
 """
 
 
+# ------------------------------------------------- skew diagnostics
+
+def q_key_skew(spark, sf_dir):
+    """Heavy-hitter report over the join key (user_id): top-10 keys
+    with their share of all events — the salting-decision input."""
+    from fte.operators.skew import key_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    out = key_skew_report(ev, "user_id", top_n=10)
+    return out.select(
+        F.col("key").cast("long").alias("key"), "n_rows",
+        F.round("share", 6).alias("share_r"),
+    ).orderBy(F.desc("n_rows"), F.asc("key"))
+
+
+SQL_KEY_SKEW = """
+WITH c AS (
+  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY user_id
+), t AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS total FROM c)
+SELECT key, n_rows, ROUND(n_rows / t.total, 6) AS share_r
+FROM c CROSS JOIN t
+ORDER BY n_rows DESC, key ASC LIMIT 10
+"""
+
+
+# ------------------------------------------------- VARIANT (semi-structured)
+
+def q_variant_extract(spark, sf_dir):
+    """Semi-structured payloads via Spark 4's VARIANT type: parse the
+    events props JSON once into a variant, extract a typed field with
+    variant_get, aggregate per event type. The modern alternative to
+    schema-on-read from_json when payload shapes drift (open
+    content-type columns in web-scale scrapes)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_VARIANT = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_with_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ------------------------------------------------- percentile gate
 
 def q_xent_percentile_gate(spark, sf_dir):
@@ -573,4 +634,6 @@ def catalog_pipeline():
         "emb_pool": (q_emb_pool, SQL_EMB_POOL),
         "bm25_batch": (q_bm25_batch, SQL_BM25_BATCH),
         "xent_percentile_gate": (q_xent_percentile_gate, SQL_XENT_GATE),
+        "key_skew": (q_key_skew, SQL_KEY_SKEW),
+        "variant_extract": (q_variant_extract, SQL_VARIANT),
     }

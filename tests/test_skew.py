@@ -49,3 +49,20 @@ def test_salted_group_count(spark, skewed):
     got = salted_group_count(left, ["k"], salt=8).toPandas().set_index("k")["n"]
     assert got["whale"] == 5000
     assert got["k7"] == 10
+
+
+def test_key_skew_report_finds_whale(spark, transcripts_df):
+    """The synthetic whale conversation dominates the report and the
+    shares sum to <=1 with counts matching a direct groupBy."""
+    from fte.operators.skew import key_skew_report
+
+    rep = key_skew_report(transcripts_df, "conv_id", top_n=5).toPandas()
+    direct = (
+        transcripts_df.groupBy("conv_id").count().orderBy("count", ascending=False)
+        .limit(5).toPandas()
+    )
+    assert rep["n_rows"].tolist() == direct["count"].tolist()
+    assert rep["key"].iloc[0] == direct["conv_id"].iloc[0]  # the whale
+    n_total = transcripts_df.count()
+    assert rep["share"].iloc[0] == rep["n_rows"].iloc[0] / n_total
+    assert rep["share"].sum() <= 1.0
