@@ -57,6 +57,7 @@ from fte.operators.text import (
 from fte.operators.sampling import with_split, sample_by_hash, sample_sources
 from fte.operators.packing import pack_documents
 from fte.operators.pairs import make_training_pairs, render_conversations
+from fte.operators.scoring import score_with_model, fake_quality_model
 
 __all__ = [
     "dedup_turns",
@@ -94,6 +95,8 @@ __all__ = [
     "bm25_scores",
     "make_training_pairs",
     "render_conversations",
+    "score_with_model",
+    "fake_quality_model",
     "with_split",
     "sample_by_hash",
     "sample_sources",

@@ -395,6 +395,37 @@ GROUP BY source ORDER BY source
 """
 
 
+# ------------------------------------------------- model scoring
+
+def q_model_score(spark, sf_dir):
+    """Batch model-scoring seam exercised end-to-end: the deterministic
+    fake classifier (distinct-word ratio) runs through the real
+    mapInPandas contract (Arrow batches, one model load per worker,
+    text never returns) and is value-checked against the same
+    definition in SQL."""
+    from fte.operators.scoring import score_with_model
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        score_with_model(d)
+        .select("doc_id", F.round("model_score", 6).alias("score_r"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_MODEL_SCORE = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ws) AS w FROM base
+)
+SELECT doc_id,
+       ROUND(CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*), 6) AS score_r
+FROM tok GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------- skew diagnostics
 
 def q_key_skew(spark, sf_dir):
@@ -636,4 +667,5 @@ def catalog_pipeline():
         "xent_percentile_gate": (q_xent_percentile_gate, SQL_XENT_GATE),
         "key_skew": (q_key_skew, SQL_KEY_SKEW),
         "variant_extract": (q_variant_extract, SQL_VARIANT),
+        "model_score": (q_model_score, SQL_MODEL_SCORE),
     }

@@ -1,0 +1,62 @@
+"""Model-scoring seam: batch contract, one-load-per-worker caching,
+deterministic fake model parity."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from fte.operators.scoring import fake_quality_model, score_with_model
+
+
+def test_score_matches_direct_model(spark):
+    texts = [
+        "the quick brown fox",          # 4/4 distinct
+        "buy now buy now buy now",      # 2/6
+        "",                             # empty -> 0.0
+        "solo",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(4), "text": texts})
+    )
+    got = (
+        score_with_model(docs, batch_size=2)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    model = fake_quality_model()
+    expect = model(pd.Series(texts))
+    assert got["model_score"].tolist() == expect.tolist()
+    assert got["model_score"].tolist() == [1.0, 2 / 6, 0.0, 1.0]
+
+
+def test_model_loads_once_per_worker(spark):
+    """model_loader must be invoked at most once per Python worker —
+    loading per batch is the classic 100x regression. Counted via a
+    worker-side marker file per PID."""
+    import glob
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(2000), "text": ["a b c"] * 2000})
+    ).repartition(4)
+
+    marker = "/tmp/fte_model_loads"
+
+    def counting_loader():
+        import os
+        import uuid
+
+        os.makedirs(marker, exist_ok=True)
+        # one file per invocation, named by pid + nonce
+        open(f"{marker}/{os.getpid()}_{uuid.uuid4().hex}", "w").close()
+        return fake_quality_model()
+
+    import shutil
+
+    shutil.rmtree(marker, ignore_errors=True)
+    out = score_with_model(docs, counting_loader, batch_size=64)
+    assert out.count() == 2000
+    loads = glob.glob(f"{marker}/*")
+    pids = {f.rsplit("/", 1)[1].split("_")[0] for f in loads}
+    # at most one load per distinct worker pid (re-used workers cache)
+    assert len(loads) == len(pids)
+    assert 1 <= len(loads) <= 8
