@@ -22,6 +22,8 @@ from fte.operators.ingest import merge_late_batch
 from fte.operators.dedup import (
     contaminated_ids,
     decontaminate,
+    fingerprint_index,
+    incremental_dedup,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_lsh_dedup,
@@ -75,6 +77,8 @@ __all__ = [
     "duplicate_components",
     "contaminated_ids",
     "decontaminate",
+    "fingerprint_index",
+    "incremental_dedup",
     "brute_force_topk",
     "knn_join",
     "lsh_topk",

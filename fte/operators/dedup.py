@@ -505,3 +505,34 @@ def decontaminate(
     """Drop contaminated training docs (see contaminated_ids)."""
     bad = contaminated_ids(train, bench, id_col, text_col, n, **kw)
     return train.join(bad, id_col, "left_anti")
+
+
+# ----------------------------------------------- incremental dedup
+
+def fingerprint_index(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct fingerprint set of an existing corpus — the persisted
+    dedup index. At 100 TB this is computed once, stored as a compact
+    parquet/bucketed table of 64-bit ints (~10^-4 of corpus bytes),
+    and only APPENDED to as batches land; the corpus text is never
+    re-read for dedup again."""
+    return with_fingerprint(corpus, text_col).select("fingerprint").distinct()
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus index AND within
+    itself: drop docs whose fingerprint is already indexed (anti-join
+    on the 64-bit key — the index side is typically broadcast-sized
+    per partition-pruned day, or a bucketed co-located join at full
+    history), then keep min-id per fingerprint among the survivors.
+    Only the new batch's fingerprints shuffle; corpus text is never
+    touched. Composes with ingest.merge_late_batch (which dedups on
+    (conv_id, turn_idx) identity; this dedups on content)."""
+    fp = with_fingerprint(new_batch, text_col)
+    fresh = fp.join(index, "fingerprint", "left_anti")
+    keep = fresh.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fresh.join(keep, ["fingerprint", id_col], "left_semi").drop("fingerprint")

@@ -210,3 +210,34 @@ def test_decontaminate_planted_overlap(spark):
         for r in contaminated_ids(train, bench, n=13, hashed=False).collect()
     )
     assert bad_str == bad
+
+
+def test_incremental_dedup_against_corpus_index(spark):
+    """New-batch dedup: docs already in the corpus (by normalized
+    content) are dropped via the fingerprint index, intra-batch dups
+    keep min id, and a second application with the updated index is
+    idempotent."""
+    import pandas as pd
+
+    from fte.operators.dedup import fingerprint_index, incremental_dedup
+
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["alpha beta gamma", "delta epsilon zeta"],
+    }))
+    batch = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": [
+            "  ALPHA   beta gamma ",   # dup of corpus doc 1 (normalized)
+            "eta theta iota",          # new
+            "eta theta iota",          # intra-batch dup of 11
+            "kappa lambda mu",         # new
+        ],
+    }))
+    idx = fingerprint_index(corpus)
+    kept = incremental_dedup(batch, idx)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13]
+    # idempotence: union the kept batch into the index, re-apply
+    idx2 = idx.unionByName(fingerprint_index(kept)).distinct()
+    again = incremental_dedup(batch, idx2)
+    assert again.count() == 0
