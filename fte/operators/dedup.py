@@ -481,9 +481,12 @@ def contaminated_ids(
     Scale shape: benchmark suites are tiny next to the corpus, so the
     distinct bench gram set is BROADCAST and the corpus side is a
     broadcast left-semi join — the 100 TB train grams never shuffle on
-    the gram key; the only wide exchange is shingle_rows' window on
-    id_col. ``hashed=False`` joins on raw gram strings (SQL-oracle
-    parity); production uses 64-bit xxhash64 grams.
+    the gram key. The train-side gram stream itself has NO shuffle at
+    all (shingle_rows is the zero-shuffle sequence/slice form); the
+    only exchanges in the whole plan are the bench-side distinct and
+    the final distinct on id_col. ``hashed=False`` joins on raw gram
+    strings (SQL-oracle parity); production uses 64-bit xxhash64
+    grams.
     """
     tg = shingle_rows(train, id_col, text_col, k=n, hashed=hashed)
     bg = shingle_rows(bench, id_col, text_col, k=n, hashed=hashed).select(

@@ -325,7 +325,16 @@ def all_pairs_topk_gemm(
                     hi = np.maximum(pa, pb)
                     pa, pb = lo, hi
                 if len(s) > k:
-                    top = np.argpartition(-s, k)[:k]
+                    # deterministic local top-k: O(n) argpartition finds
+                    # the kth score, keep EVERYTHING >= it (k plus ties
+                    # — an argpartition cut alone picks tied boundary
+                    # pairs arbitrarily), then lexsort the small
+                    # survivor set by (-score, id_a, id_b) — the same
+                    # total order the global merge uses — and truncate
+                    kth = np.partition(-s, k - 1)[k - 1]
+                    keep = -s <= kth
+                    pa, pb, s = pa[keep], pb[keep], s[keep]
+                    top = np.lexsort((pb, pa, -s))[:k]
                     pa, pb, s = pa[top], pb[top], s[top]
                 yield pd.DataFrame({"id_a": pa, "id_b": pb, "cos_sim": s})
 

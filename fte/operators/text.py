@@ -30,15 +30,12 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
 
-def tokens(col: Column | str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != F.lit(""))
-
-
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (empty string → 0): number of maximal
     non-space runs via regexp_count — pure JVM codegen, no per-token
-    interpreted lambda (identical to size(tokens(col)))."""
+    interpreted lambda (identical to size(filter(split(trim(c),
+    '\\s+'), w -> w != '')) without the interpreted filter — the HOF
+    tokenizer was deleted so it can't leak into hot paths)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_count(c, F.lit(r"\S+")).cast("long")
 
@@ -50,7 +47,8 @@ def _stopword_hits(c: Column, words: tuple[str, ...]) -> Column:
     the interpreted per-token lambda (~100µs/element; lang_id was the
     slowest doc query before this rewrite). Words must be regex-safe
     (alphabetic); boundaries are (?<=^|\\s)/(?=\\s|$), the same \\s
-    class tokens() splits on, so a match is a FULL token."""
+    class whitespace tokenization splits on, so a match is a FULL
+    token."""
     pat = r"(?<=^|\s)(" + "|".join(words) + r")(?=\s|$)"
     return F.regexp_count(F.lower(c), F.lit(pat))
 

@@ -31,19 +31,24 @@ def test_score_matches_direct_model(spark):
 
 def test_model_loads_once_per_worker(spark):
     """model_loader must be invoked at most once per Python worker —
-    loading per batch is the classic 100x regression. Counted via a
-    worker-side marker file per PID."""
+    loading per batch OR PER TASK is the classic 100x regression.
+    Counted via a worker-side marker file per invocation. Uses MORE
+    partitions (12) than cores so reused workers run several tasks
+    each: a per-task (closure-local) cache would load 12 times and
+    fail the len(loads) == len(pids) assertion; the module-level
+    cache loads once per distinct worker pid."""
     import glob
+    import uuid
 
+    n_cores = 4  # conftest spark fixture is local[4]
     docs = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(2000), "text": ["a b c"] * 2000})
-    ).repartition(4)
+    ).repartition(12)
 
     marker = "/tmp/fte_model_loads"
 
     def counting_loader():
         import os
-        import uuid
 
         os.makedirs(marker, exist_ok=True)
         # one file per invocation, named by pid + nonce
@@ -53,10 +58,14 @@ def test_model_loads_once_per_worker(spark):
     import shutil
 
     shutil.rmtree(marker, ignore_errors=True)
-    out = score_with_model(docs, counting_loader, batch_size=64)
+    # fresh cache key per run: reused workers keep the module cache
+    # alive across tests, which would otherwise hide the loader call
+    out = score_with_model(docs, counting_loader, batch_size=64,
+                           cache_key=f"test_{uuid.uuid4().hex}")
     assert out.count() == 2000
     loads = glob.glob(f"{marker}/*")
     pids = {f.rsplit("/", 1)[1].split("_")[0] for f in loads}
-    # at most one load per distinct worker pid (re-used workers cache)
+    # exactly one load per distinct worker pid, never one per task:
+    # 12 tasks on <= n_cores workers must not produce 12 loads
     assert len(loads) == len(pids)
-    assert 1 <= len(loads) <= 8
+    assert 1 <= len(loads) <= n_cores < 12

@@ -259,3 +259,30 @@ def test_mean_pool_embeddings_matches_numpy(spark):
         got = np.array(r["pooled"])
         assert got.shape == (8,)
         np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+
+def test_gemm_all_pairs_deterministic_under_ties(spark):
+    """Tied scores at the local-k boundary must be broken
+    deterministically (by id_a, id_b), not by argpartition order: 12
+    copies of one vector give 66 pairs all at cos_sim exactly 1.0; the
+    global top-10 must be the lexicographically-first pairs, stable
+    across runs and partitionings."""
+    from fte.operators.similarity import all_pairs_topk_gemm
+
+    v = [1.0, 2.0, 3.0, 4.0]
+    pdf = pd.DataFrame({
+        "vec_id": range(12),
+        "embedding": [v] * 12,
+    })
+    df = spark.createDataFrame(pdf)
+    expect = sorted(
+        [(a, b) for a in range(12) for b in range(a + 1, 12)]
+    )[:10]
+    for parts in (1, 5):
+        got = (
+            all_pairs_topk_gemm(df.repartition(parts), k=10, n_blocks=3)
+            .orderBy("pair_rank")
+            .toPandas()
+        )
+        assert list(zip(got["id_a"], got["id_b"])) == expect
+        assert got["cos_sim"].round(9).tolist() == [1.0] * 10
