@@ -242,11 +242,21 @@ def chunk_documents(
     sequence + posexplode + slice + array_join, all codegen, ZERO
     shuffles: chunking 100 TB is exactly one pass over the scan.
 
+    A start is generated only while the PREVIOUS chunk stops short of
+    the document end (start < n - chunk_words + stride, capped at
+    n - 1 so no start is past the text): a trailing chunk that is a
+    strict subset of its predecessor would duplicate training text.
+    Short docs (n <= chunk_words) emit exactly one chunk.
+
     Output: (id_col, chunk_idx, n_chunk_words, chunk).
     """
     c = F.col(text_col)
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     words = F.split(norm, " ")
+    last_start = F.greatest(
+        F.least(F.col("_n") - 1, F.col("_n") - chunk_words + stride - 1),
+        F.lit(0),
+    )
     base = df.select(
         F.col(id_col),
         words.alias("_ws"),
@@ -254,7 +264,7 @@ def chunk_documents(
     ).select(
         id_col, "_ws", "_n",
         F.posexplode(
-            F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride))
+            F.sequence(F.lit(0), last_start, F.lit(stride))
         ).alias("chunk_idx", "_start"),
     )
     return base.select(
@@ -456,7 +466,11 @@ def chunk_documents_udtf(
         def eval(self, text: str):
             words = " ".join(str(text or "").strip().lower().split()).split(" ")
             n = len(words)
-            for ci, start in enumerate(range(0, max(n - 1, 0) + 1, st)):
+            # same stop rule as chunk_documents: no start once the
+            # previous chunk already reaches the end (subset chunks
+            # duplicate training text)
+            last = max(min(n - 1, n - cw + st - 1), 0)
+            for ci, start in enumerate(range(0, last + 1, st)):
                 piece = words[start:start + cw]
                 yield ci, len(piece), " ".join(piece)
 
@@ -479,24 +493,40 @@ def bm25_topk_batch(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Batch BM25 retrieval: top-k docs for EVERY query in one pass —
     the retrieval-join shape (mirrors knn_join for embeddings). The
     query table (query_id, term) is tiny and BROADCAST onto the token
     stream; corpus statistics (dl, df-per-(query,term), avgdl) are the
-    same one-explode aggregates as bm25_scores; per-query top-k uses a
-    (query-partitioned) window over the scored docs — each query's
-    candidate set, not the corpus, flows through its window partition.
+    same one-explode aggregates as bm25_scores; per-query top-k is
+    TWO-PHASE: a (query_id, salt)-partitioned window keeps a local
+    top-k per salt shard, then the final query-partitioned window
+    ranks at most k * n_salts survivors per query. A single hot query
+    term shared by every doc (stopword-ish queries are common) would
+    otherwise funnel the WHOLE corpus through one window partition —
+    the per-query candidate set is not bounded the way LSH buckets
+    are.
 
     Scale: one corpus explode feeds everything; df/avgdl broadcast; the
     only corpus-sized shuffles are the (doc,term) and doc aggregates.
+    Per-(query, doc) totals are FIXED-ORDER sums over the term index
+    within each query (conditional per-index aggregates summed
+    s0+s1+...), same as bm25_scores — an unordered SUM differs from a
+    SQL oracle in the last ulp, and a rank flip at a rounding boundary
+    would make the oracle flaky (ADVICE r2).
     Output: (query_id, rank, doc_id, n_hit_terms, bm25).
     """
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    qrows = [(int(q), t) for q, terms in queries.items() for t in terms]
-    qdf = spark.createDataFrame(qrows, "query_id int, _w string")
+    qrows = [
+        (int(q), t, i)
+        for q, terms in queries.items()
+        for i, t in enumerate(terms)
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id int, _w string, _ti int")
+    max_terms = max(len(terms) for terms in queries.values())
 
     c = F.col(text_col)
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
@@ -510,7 +540,7 @@ def bm25_topk_batch(
     # the token stream, then count
     tf = (
         tok.join(F.broadcast(qdf), "_w")
-        .groupBy("query_id", id_col, "_w")
+        .groupBy("query_id", id_col, "_w", "_ti")
         .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
     )
     dfreq = tf.groupBy("query_id", "_w").agg(
@@ -528,17 +558,37 @@ def bm25_topk_batch(
     denom = F.col("_tf") + F.lit(k1) * (
         F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("n_words") / F.col("_avgdl")
     )
-    scored = (
+    per_term = [
+        F.max(F.when(F.col("_ti") == i, F.col("_s"))).alias(f"_s{i}")
+        for i in range(max_terms)
+    ]
+    agg = (
         j.withColumn("_s", idf * F.col("_tf") * F.lit(k1 + 1.0) / denom)
         .groupBy("query_id", id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
-            F.sum("_s").alias("bm25"),
+            *per_term,
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    total = F.coalesce(F.col("_s0"), F.lit(0.0))
+    for i in range(1, max_terms):
+        total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    scored = agg.withColumn("bm25", total)
+    order = [F.desc("bm25"), F.asc(id_col)]
+    # phase 1: local top-k within (query, salt) — bounds any one
+    # window partition at ~n_candidates / n_salts rows
+    salted = scored.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
+    )
+    w_local = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    local = (
+        salted.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+    )
+    # phase 2: exact rank over <= k * n_salts survivors per query
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "n_hit_terms", "bm25")
     )

@@ -212,8 +212,13 @@ WITH w AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
   FROM documents
 ), s AS (
+  -- starts stop once the previous chunk reaches the doc end (a
+  -- trailing subset chunk would duplicate text), mirroring
+  -- fte.operators.text.chunk_documents
   SELECT doc_id, words, len(words) AS n,
-         UNNEST(generate_series(0, greatest(len(words) - 1, 0), 24)) AS start
+         UNNEST(generate_series(
+           0, greatest(least(len(words) - 1, len(words) - 32 + 24 - 1), 0), 24
+         )) AS start
   FROM w
 )
 SELECT doc_id,
@@ -317,10 +322,10 @@ def q_bm25_batch(spark, sf_dir):
 
 
 SQL_BM25_BATCH = r"""
-WITH q(query_id, w) AS (
-  VALUES (0, 'spark'), (0, 'join'),
-         (1, 'window'), (1, 'filter'),
-         (2, 'scan'), (2, 'table'), (2, 'value')
+WITH q(query_id, w, ti) AS (
+  VALUES (0, 'spark', 0), (0, 'join', 1),
+         (1, 'window', 0), (1, 'filter', 1),
+         (2, 'scan', 0), (2, 'table', 1), (2, 'value', 2)
 ), base AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
   FROM documents
@@ -332,24 +337,29 @@ WITH q(query_id, w) AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(CAST(n_words AS DOUBLE)) AS avgdl
   FROM dl
 ), tf AS (
-  SELECT q.query_id, tok.doc_id, tok.w, CAST(COUNT(*) AS DOUBLE) AS tf
+  SELECT q.query_id, tok.doc_id, tok.w, q.ti, CAST(COUNT(*) AS DOUBLE) AS tf
   FROM tok JOIN q ON tok.w = q.w
-  GROUP BY q.query_id, tok.doc_id, tok.w
+  GROUP BY q.query_id, tok.doc_id, tok.w, q.ti
 ), df AS (
   SELECT query_id, w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY query_id, w
-), scored AS (
-  SELECT tf.query_id, tf.doc_id,
-         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
-         SUM(
-           ln((stats.n_docs - df.df + CAST(0.5 AS DOUBLE))
-              / (df.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
-           * tf.tf * CAST(2.2 AS DOUBLE)
-           / (tf.tf + CAST(1.2 AS DOUBLE) *
-              (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-               + CAST(0.75 AS DOUBLE) * dl.n_words / stats.avgdl))
-         ) AS bm25
+), sc AS (
+  SELECT tf.query_id, tf.doc_id, tf.ti,
+         ln((stats.n_docs - df.df + CAST(0.5 AS DOUBLE))
+            / (df.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+         * tf.tf * CAST(2.2 AS DOUBLE)
+         / (tf.tf + CAST(1.2 AS DOUBLE) *
+            (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             + CAST(0.75 AS DOUBLE) * dl.n_words / stats.avgdl)) AS s
   FROM tf JOIN df USING (query_id, w) JOIN dl USING (doc_id) CROSS JOIN stats
-  GROUP BY tf.query_id, tf.doc_id
+), scored AS (
+  -- fixed-order per-term-index sum (s0+s1+s2), mirroring the Spark
+  -- side: unordered SUM differs in the last ulp across engines
+  SELECT query_id, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         COALESCE(MAX(CASE WHEN ti = 0 THEN s END), CAST(0 AS DOUBLE))
+           + COALESCE(MAX(CASE WHEN ti = 1 THEN s END), CAST(0 AS DOUBLE))
+           + COALESCE(MAX(CASE WHEN ti = 2 THEN s END), CAST(0 AS DOUBLE)) AS bm25
+  FROM sc GROUP BY query_id, doc_id
 ), ranked AS (
   SELECT query_id, doc_id, n_hit_terms, bm25,
          ROW_NUMBER() OVER (PARTITION BY query_id

@@ -150,17 +150,45 @@ def test_chunk_documents_coverage_and_overlap(spark):
         .orderBy("chunk_idx")
         .toPandas()
     )
-    # starts 0,24,48,72,96 -> 5 chunks
-    assert out["chunk_idx"].tolist() == [0, 1, 2, 3, 4]
-    assert out["n_chunk_words"].tolist() == [32, 32, 32, 28, 4]
+    # starts 0,24,48,72 -> 4 chunks; start 96 is suppressed because
+    # chunk 3 (72..99) already reaches the end — a 96..99 chunk would
+    # be a strict subset of it (duplicated training text)
+    assert out["chunk_idx"].tolist() == [0, 1, 2, 3]
+    assert out["n_chunk_words"].tolist() == [32, 32, 32, 28]
     chunks = [c.split(" ") for c in out["chunk"]]
     # every word covered, in order, with 8-word overlap between chunks
     assert chunks[0] == words[0:32]
     assert chunks[3] == words[72:100]
-    assert chunks[4] == words[96:100]
     covered = set(w for c in chunks for w in c)
     assert covered == set(words)
     assert chunks[0][-8:] == chunks[1][:8]
+    # no chunk is contained in its predecessor
+    for prev, cur in zip(chunks, chunks[1:]):
+        assert not set(cur) <= set(prev)
+
+
+def test_chunk_no_subset_trailing_chunk(spark):
+    """ADVICE r2: n=26, chunk=32, stride=24 used to emit chunk 1 =
+    words 25-26, a strict subset of chunk 0. Exactly one chunk now."""
+    words = [f"w{i}" for i in range(26)]
+    out = chunk_documents(
+        _docs(spark, [" ".join(words)]), chunk_words=32, stride=24
+    ).toPandas()
+    assert len(out) == 1
+    assert out.loc[0, "n_chunk_words"] == 26
+    # boundary: n exactly chunk_words -> one chunk too
+    out32 = chunk_documents(
+        _docs(spark, [" ".join(f"x{i}" for i in range(32))]),
+        chunk_words=32, stride=24,
+    ).toPandas()
+    assert len(out32) == 1
+    # n = chunk_words + 1 -> second chunk needed for the last word
+    out33 = chunk_documents(
+        _docs(spark, [" ".join(f"y{i}" for i in range(33))]),
+        chunk_words=32, stride=24,
+    ).orderBy("chunk_idx").toPandas()
+    assert out33["n_chunk_words"].tolist() == [32, 9]
+    assert out33.loc[1, "chunk"].split(" ")[-1] == "y32"
 
 
 def test_chunk_short_doc_single_chunk(spark):
@@ -295,3 +323,42 @@ def test_bm25_batch_consistent_with_single(spark):
         assert got["doc_id"].tolist() == single["doc_id"].tolist()[:5]
         for g, s in zip(got["bm25"], single["bm25"]):
             assert g == pytest.approx(s, rel=1e-12)
+
+
+def test_bm25_batch_hot_term_skew(spark):
+    """Skew stress: one query term appears in EVERY doc, so that
+    query's candidate set is the whole corpus. The two-phase salted
+    top-k must (a) stay exact vs a direct single-query ranking and
+    (b) never push more than ~n_candidates/n_salts + k*n_salts rows
+    through any one window partition (structural: phase-1 windows are
+    (query, salt)-partitioned, phase 2 sees <= k*n_salts rows)."""
+    from fte.operators.text import bm25_scores, bm25_topk_batch
+
+    n = 400
+    # every doc contains 'the'; distinct filler words vary doc length
+    texts = [
+        "the " + " ".join(f"w{i}_{j}" for j in range(1 + i % 7))
+        for i in range(n)
+    ]
+    docs = _docs(spark, texts).repartition(8)
+    out = (
+        bm25_topk_batch(docs, {0: ("the",)}, k=5, n_salts=16)
+        .orderBy("rank")
+        .toPandas()
+    )
+    assert len(out) == 5
+    single = (
+        bm25_scores(docs, ("the",))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(5)
+        .toPandas()
+    )
+    assert out["doc_id"].tolist() == single["doc_id"].tolist()
+    for g, s in zip(out["bm25"], single["bm25"]):
+        assert g == pytest.approx(s, rel=1e-12)
+    # the plan contains both window phases: (query,salt) then query
+    plan = (
+        bm25_topk_batch(docs, {0: ("the",)}, k=5, n_salts=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_salt" in plan
