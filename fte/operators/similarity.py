@@ -64,6 +64,27 @@ def _stack(vs: pd.Series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype="float64") for v in vs.to_numpy()])
 
 
+def _cosine_pair_udf():
+    """Vectorized row-wise cosine between two array columns: stacked
+    per Arrow batch, one einsum + two batched norms — the verify-stage
+    replacement for the interpreted HOF cosine (which at 768 dims was
+    the whole verify cost). Defined inside a function: module-level
+    pandas_udf DDL parsing needs a live SparkSession (CLAUDE.md)."""
+
+    @pandas_udf("double")
+    def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = _stack(va)
+        B = _stack(vb)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        den[den == 0] = 1.0
+        return pd.Series(num / den)
+
+    return pair_cos
+
+
 def _cosine_q_udf(query_vec):
     """Vectorized cosine vs one query vector: one numpy GEMV per Arrow
     batch (BLAS), ~100x the interpreted HOF fold."""
@@ -109,9 +130,99 @@ def knn_join(
     query_id: str = "query_id",
     query_vec: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k per query row: broadcast the query set, rank per
-    query. Output: (query_id, vec_id, cos_sim, rank). The window is
-    partitioned by query_id — parallel across queries, never global."""
+    """Exact top-k per query row for a (small, broadcastable) query
+    set. Output: (query_id, vec_id, cos_sim, rank).
+
+    Scale shape: the query set is materialized ONCE into an L2-
+    normalized numpy matrix and broadcast; each corpus partition runs
+    one numpy GEMM per Arrow batch against it (BLAS — the interpreted
+    HOF fold it replaces costs ~100µs/element, which at 10^9 rows ×
+    768 dims × Q queries IS the job) and keeps a partition-local
+    top-k-plus-ties per query. Only ~k·Q rows leave each partition, so
+    the final exact per-query window ranks ≤ k·n_partitions rows per
+    query — the corpus×Q scored rows never shuffle (the old
+    formulation shuffled them all into Q window partitions, capping
+    parallelism at Q). ``knn_join_hof`` is the sequential-accumulation
+    twin kept for cross-checking only.
+    """
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        raise ValueError("knn_join: empty query set")
+    qids = np.array([int(r[0]) for r in qrows], dtype="int64")
+    Q = np.stack([np.asarray(list(r[1]), dtype="float64") for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Qn))
+    out_schema = f"{query_id} long, {corpus_id} long, cos_sim double"
+
+    def part_topk(batches):
+        qids_, Qn_ = bc.value
+        nq = len(qids_)
+        # per-query candidate accumulators across the partition's batches
+        cand_ids: list[list[np.ndarray]] = [[] for _ in range(nq)]
+        cand_sims: list[list[np.ndarray]] = [[] for _ in range(nq)]
+
+        def keep_topk(ids: np.ndarray, sims: np.ndarray):
+            """Top-k plus ties at the kth score (a tied boundary row
+            could still win on id order in the final exact rank)."""
+            if len(sims) <= k:
+                return ids, sims
+            kth = np.partition(-sims, k - 1)[k - 1]
+            sel = -sims <= kth
+            return ids[sel], sims[sel]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _stack(pdf[corpus_vec])
+            n = np.linalg.norm(V, axis=1)
+            n[n == 0] = 1.0
+            S = (V / n[:, None]) @ Qn_.T  # (batch, Q) — one GEMM
+            ids = pdf[corpus_id].to_numpy()
+            for j in range(nq):
+                bi, bs = keep_topk(ids, S[:, j])
+                cand_ids[j].append(bi)
+                cand_sims[j].append(bs)
+        out_q, out_i, out_s = [], [], []
+        for j in range(nq):
+            if not cand_ids[j]:
+                continue
+            ids = np.concatenate(cand_ids[j])
+            sims = np.concatenate(cand_sims[j])
+            ids, sims = keep_topk(ids, sims)
+            out_q.append(np.full(len(ids), qids_[j], dtype="int64"))
+            out_i.append(ids)
+            out_s.append(sims)
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    query_id: np.concatenate(out_q),
+                    corpus_id: np.concatenate(out_i),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+    scored = corpus.select(corpus_id, corpus_vec).mapInPandas(part_topk, out_schema)
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_hof(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Sequential-accumulation twin of ``knn_join`` (JVM HOF cosine,
+    broadcast nested-loop + per-query window). Matches a SQL engine's
+    dot-product ulp-for-ulp — kept ONLY for oracle-parity cross-checks
+    and tests; the interpreted per-element fold and the corpus×Q
+    window shuffle disqualify it at scale."""
     q = queries.select(
         F.col(query_id), _as_double(query_vec).alias("_qv")
     )
@@ -255,8 +366,12 @@ def embedding_dup_pairs(
         cand = cand.unionByName(one_table(t))
     if n_tables > 1:
         cand = cand.dropDuplicates(["id_a", "id_b"])
+    # verify stage: candidates are bucket-bounded, but at 768 dims the
+    # exact-cosine check must be the same per-batch vectorized numpy
+    # as the signature stage, not an interpreted per-element HOF fold
+    pair_cos = _cosine_pair_udf()
     return (
-        cand.withColumn("cos_sim", cosine(_as_double(F.col("_va")), _as_double(F.col("_vb"))))
+        cand.withColumn("cos_sim", pair_cos(F.col("_va"), F.col("_vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

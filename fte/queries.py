@@ -470,30 +470,20 @@ FROM documents GROUP BY md5(text)
 # ---------------------------------------------------------------- embeddings
 
 def q_knn_bruteforce(spark, sf_dir):
-    """Brute-force cosine top-10 vs the vec_id=0 embedding.
+    """Brute-force cosine top-10 vs the vec_id=0 embedding, via the
+    library's scale path (``brute_force_topk``): one vectorized numpy
+    GEMV per Arrow batch against the query vector, global top-k as
+    orderBy+limit → TakeOrderedAndProject. The bench therefore
+    measures the operator a 100 TB run would use; the DuckDB oracle's
+    sequential dot agrees after the 6-dp rounding (same precedent as
+    emb_top_pairs_gemm)."""
+    from fte.operators.similarity import brute_force_topk
 
-    The query vector is broadcast as a literal array; dot/norms run as
-    JVM higher-order functions (zip_with + aggregate) — no Python.
-    """
     e = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
-    qcol = F.array([F.lit(x) for x in q]).cast("array<double>")
-    emb = F.col("embedding").cast("array<double>")
-    dot = F.aggregate(F.zip_with(emb, qcol, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    n1 = F.sqrt(F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    n2 = F.sqrt(F.aggregate(F.transform(qcol, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    sim = (dot / (n1 * n2)).alias("sim")
-    # global top-k via orderBy+limit (TakeOrderedAndProject: parallel
-    # partial top-k per partition) — never a single-task window; rank
-    # is re-derived over the 10 surviving rows only
-    order = [F.desc("sim"), F.asc("vec_id")]
-    w = Window.orderBy(*order)
-    return (
-        e.select("vec_id", sim)
-        .orderBy(*order)
-        .limit(10)
-        .withColumn("rank", F.row_number().over(w))
-        .select("vec_id", F.round("sim", 6).alias("cos_sim"), F.col("rank").cast("long").alias("rank"))
+    return brute_force_topk(e, q, k=10).select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

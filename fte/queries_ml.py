@@ -800,6 +800,75 @@ SELECT CAST(10 AS BIGINT) AS n_exact, CAST(7 AS BIGINT) AS n_overlap, 0.7 AS rec
 """
 
 
+def q_minhash_recall_vs_exact(spark, sf_dir):
+    """Agreement gate for the MinHash-LSH path (mirrors
+    lsh_recall_vs_exact): recall of minhash_lsh_pairs (32 hashes, 8
+    bands, verify at jaccard>=0.5 — the q_minhash_neardup config)
+    against the ORACLE-CHECKED exact 3-gram-Jaccard pair set
+    (q_ngram_neardup). Everything is deterministic — fixed hash
+    constants, fixed corpus — so the overlap is a constant of sf0.01
+    and the oracle pins it (593/600: the 7 missed pairs are banding
+    misses near the 0.5 threshold, where 8-band collision probability
+    is ~0.59). A hash-family change, a banding bug, or a verify-stage
+    regression all move this number."""
+    from fte.operators.text import token_count
+
+    d = _docs_with_mutants(spark, sf_dir)
+    d3 = d.filter(token_count("text") >= 3)
+    exact = ngram_jaccard_pairs(d3, k=3, threshold=0.5).select("id_a", "id_b")
+    approx = minhash_lsh_pairs(
+        d, num_hashes=32, bands=8, jaccard_threshold=0.5
+    ).select("id_a", "id_b")
+    overlap = exact.join(approx, ["id_a", "id_b"], "left_semi")
+    ex = exact.agg(F.count("*").alias("n_exact"))
+    ov = overlap.agg(F.count("*").alias("n_overlap"))
+    return ex.crossJoin(ov).select(
+        "n_exact", "n_overlap",
+        (F.col("n_overlap") / F.col("n_exact")).cast("double").alias("recall"),
+    )
+
+
+SQL_MINHASH_RECALL = """
+SELECT CAST(600 AS BIGINT) AS n_exact, CAST(593 AS BIGINT) AS n_overlap,
+       CAST(593 AS DOUBLE) / CAST(600 AS DOUBLE) AS recall
+"""
+
+
+def q_simhash_recall_vs_exact(spark, sf_dir):
+    """Totality gate for the SimHash pigeonhole path: candidates from
+    max_hamming+1 blocks must find EVERY pair at hamming<=6 — recall
+    vs a brute-force all-pairs hamming scan over the same signature
+    table is exactly 1.0 BY CONSTRUCTION (a pair differing in <=6
+    bits differs in at most 6 of the 7 blocks, so agrees on one).
+    935 qualifying pairs at sf0.01; any block-layout bug breaks this."""
+    from fte.operators.dedup import hamming64, simhash_table
+
+    d = _docs_with_mutants(spark, sf_dir)
+    s = simhash_table(d)
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming64(F.col("_sa"), F.col("_sb")) <= 6)
+        .select("id_a", "id_b")
+    )
+    approx = simhash_pairs(d, max_hamming=6).select("id_a", "id_b")
+    overlap = exact.join(approx, ["id_a", "id_b"], "left_semi")
+    ex = exact.agg(F.count("*").alias("n_exact"))
+    ov = overlap.agg(F.count("*").alias("n_overlap"))
+    return ex.crossJoin(ov).select(
+        "n_exact", "n_overlap",
+        (F.col("n_overlap") / F.col("n_exact")).cast("double").alias("recall"),
+    )
+
+
+SQL_SIMHASH_RECALL = """
+SELECT CAST(935 AS BIGINT) AS n_exact, CAST(935 AS BIGINT) AS n_overlap,
+       CAST(1.0 AS DOUBLE) AS recall
+"""
+
+
 def catalog_ml():
     return {
         "doc_dedup_norm": (q_doc_dedup_norm, SQL_DOC_DEDUP_NORM),
@@ -816,6 +885,8 @@ def catalog_ml():
         "ivf_topk": (q_ivf_topk, None),
         "lsh_recall_vs_exact": (q_lsh_recall_vs_exact, SQL_LSH_RECALL),
         "ivf_recall_vs_exact": (q_ivf_recall_vs_exact, SQL_IVF_RECALL),
+        "minhash_recall_vs_exact": (q_minhash_recall_vs_exact, SQL_MINHASH_RECALL),
+        "simhash_recall_vs_exact": (q_simhash_recall_vs_exact, SQL_SIMHASH_RECALL),
         "emb_norms": (q_emb_norms, SQL_EMB_NORMS),
         "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
         "dup_components": (q_dup_components, SQL_DUP_COMPONENTS),

@@ -174,15 +174,42 @@ def test_l2_norm_arrow_matches_jvm(spark, emb_df, emb_pdf):
     assert np.allclose(got["l2_norm"].to_numpy(), expect, rtol=1e-7, atol=1e-12)
 
 
-def test_knn_join_broadcasts_queries(spark, emb_df, emb_pdf):
-    """The query set must reach the corpus as a BroadcastExchange —
-    a shuffled nested-loop over 10^9 corpus rows would be the job."""
+def test_knn_join_plan_no_corpus_shuffle(spark, emb_df, emb_pdf):
+    """Scale gate (VERDICT r2 #2): the corpus must be scored by a
+    per-partition GEMM (MapInPandas) with only ~k·Q candidate rows
+    reaching the final per-query window — never a nested-loop join
+    whose corpus×Q scored rows shuffle into Q window partitions."""
     queries = spark.createDataFrame(
         emb_pdf.iloc[:3].rename(columns={"vec_id": "query_id"}),
         "query_id long, embedding array<float>",
     )
     plan = knn_join(emb_df, queries, k=5)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastExchange" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_join_matches_hof_twin(spark, emb_df, emb_pdf):
+    """The vectorized GEMM knn_join and the sequential HOF twin must
+    agree on ids, ranks, and scores (to float tolerance) per query."""
+    from fte.operators.similarity import knn_join_hof
+
+    queries = spark.createDataFrame(
+        emb_pdf.iloc[:3].rename(columns={"vec_id": "query_id"}),
+        "query_id long, embedding array<float>",
+    )
+    a = (
+        knn_join(emb_df.repartition(7), queries, k=5)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        knn_join_hof(emb_df, queries, k=5)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert a["query_id"].tolist() == b["query_id"].tolist()
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert a["rank"].tolist() == b["rank"].tolist()
+    assert np.allclose(a["cos_sim"], b["cos_sim"], rtol=1e-9, atol=1e-12)
 
 
 def test_brute_force_topk_zero_shuffle(spark, emb_df, emb_pdf):
