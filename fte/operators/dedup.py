@@ -510,6 +510,114 @@ def decontaminate(
     return train.join(bad, id_col, "left_anti")
 
 
+# ----------------------------------------------- segment-level dedup
+
+def segment_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    seg_words: int = 16, hashed: bool = True,
+) -> DataFrame:
+    """Non-overlapping ``seg_words``-word segments per doc — the
+    unit for within-corpus segment dedup (the C4/CCNet line- and
+    paragraph-level rule, re-expressed for text without line
+    structure). Same zero-shuffle construction as shingle_rows:
+    sequence of starts → posexplode → slice + array_join, all
+    whole-stage codegen; segmenting 100 TB is one pass over the scan.
+
+    Output: (id_col, seg_idx, n_seg_words, segment) where ``segment``
+    is the xxhash64 of the normalized segment text (``hashed=True``,
+    8-byte shuffle keys for the ownership aggregate) or the raw
+    normalized string (SQL-oracle parity).
+    """
+    c = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    words = F.split(norm, " ")
+    base = df.select(
+        F.col(id_col),
+        words.alias("_ws"),
+        F.size(words).alias("_n"),
+    ).select(
+        id_col, "_ws", "_n",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest((F.col("_n") - 1) / F.lit(seg_words), F.lit(0)).cast("int"),
+            )
+        ).alias("seg_idx", "_s"),
+    )
+    seg_text = F.array_join(
+        F.slice("_ws", F.col("_s") * seg_words + 1, seg_words), " "
+    )
+    return base.select(
+        id_col,
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.least(F.lit(seg_words), F.col("_n") - F.col("_s") * seg_words)
+        .cast("long")
+        .alias("n_seg_words"),
+        (F.xxhash64(seg_text) if hashed else seg_text).alias("segment"),
+    )
+
+
+def segment_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    seg_words: int = 16, hashed: bool = True,
+) -> DataFrame:
+    """Corpus-wide keep-first segment dedup: every repeated
+    ``seg_words``-word segment keeps only its first occurrence (min
+    (doc_id, seg_idx) across the corpus — the C4 "discard repeated
+    paragraphs/lines" rule); docs are reassembled from their surviving
+    segments in order.
+
+    Scale shape (three bounded exchanges, text shuffled at most once):
+    1. ownership — segment rows WITHOUT text (id, idx, 8-byte hash)
+       hash-aggregate min(struct(doc_id, seg_idx)) per segment key,
+       map-side partial combine;
+    2. the winning (doc_id, seg_idx) set left-semi joins the
+       re-derived segment stream (with text) on (id, idx);
+    3. per-doc reassembly: array_sort(collect_list(struct(idx, seg)))
+       — in-aggregate ordering, no window.
+
+    Output: (id_col, n_segs, n_kept, text_dedup) — one row per doc
+    that kept >= 1 segment (a doc that is entirely repeats of earlier
+    content disappears, matching the dedup intent).
+    """
+    segs = segment_rows(df, id_col, text_col, seg_words, hashed=hashed)
+    keyed = segs.select(id_col, "seg_idx", "segment")
+    owners = keyed.groupBy("segment").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("seg_idx").alias("x"))).alias("_o")
+    ).select(
+        F.col("segment"),
+        F.col("_o.i").alias(id_col),
+        F.col("_o.x").alias("seg_idx"),
+    )
+    seg_text = segment_rows(df, id_col, text_col, seg_words, hashed=False)
+    # per-doc segment count straight off the scan (no explode/shuffle):
+    # ceil(n_words / seg_words), min 1 — matches segment_rows' sequence
+    n_words = F.size(
+        F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.greatest(
+            F.ceil(n_words.cast("double") / F.lit(seg_words)), F.lit(1)
+        ).cast("long").alias("n_segs"),
+    )
+    kept = seg_text.join(
+        owners.select(id_col, "seg_idx"), [id_col, "seg_idx"], "left_semi"
+    )
+    out = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("seg_idx").alias("x"), F.col("segment").alias("s")))
+            ).getField("s"),
+            " ",
+        ).alias("text_dedup"),
+    )
+    return out.join(totals, id_col).select(
+        id_col, "n_segs", "n_kept", "text_dedup"
+    )
+
+
 # ----------------------------------------------- incremental dedup
 
 def fingerprint_index(corpus: DataFrame, text_col: str = "text") -> DataFrame:

@@ -800,6 +800,90 @@ SELECT CAST(10 AS BIGINT) AS n_exact, CAST(7 AS BIGINT) AS n_overlap, 0.7 AS rec
 """
 
 
+def q_segment_dedup(spark, sf_dir):
+    """Corpus-wide keep-first segment dedup (the C4 repeated-
+    paragraph/line rule over 16-word blocks) on docs ∪ mutated copies:
+    each mutant shares all full segments with its original, so its
+    repeated blocks vanish and only genuinely new tail content
+    survives. Oracle: DuckDB window keep-first over the same segment
+    construction (hashed=False so the group key is the raw normalized
+    segment string on both engines)."""
+    from fte.operators.dedup import segment_dedup
+
+    d = _docs_with_mutants(spark, sf_dir)
+    return segment_dedup(d, seg_words=16, hashed=False)
+
+
+SQL_SEGMENT_DEDUP = f"""
+WITH u AS ({SQL_DOCS_MUT}),
+w AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM u
+), s AS (
+  SELECT doc_id, ws,
+         UNNEST(generate_series(0, greatest((len(ws) - 1) // 16, 0))) AS seg_idx
+  FROM w
+), segs AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(ws[seg_idx * 16 + 1 : seg_idx * 16 + 16], ' ') AS segment
+  FROM s
+), own AS (
+  SELECT doc_id, seg_idx, segment,
+         ROW_NUMBER() OVER (PARTITION BY segment ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+), kept AS (
+  SELECT doc_id, seg_idx, segment FROM own WHERE rn = 1
+), tot AS (
+  SELECT doc_id,
+         greatest(CAST(ceil(len(ws) / CAST(16 AS DOUBLE)) AS BIGINT), 1) AS n_segs
+  FROM w
+)
+SELECT k.doc_id, tot.n_segs, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       string_agg(k.segment, ' ' ORDER BY k.seg_idx) AS text_dedup
+FROM kept k JOIN tot USING (doc_id)
+GROUP BY k.doc_id, tot.n_segs
+"""
+
+
+def q_token_fertility(spark, sf_dir):
+    """Tokenizer-fertility stats per doc: BPE-ish subword count
+    (regex pre-tokenization proxy) over whitespace words — the cheap
+    curation signal for scripts/noise that explode token budgets
+    (fertility = subwords/word, chars_per_token)."""
+    from fte.operators.text import bpe_ish_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    n_words = token_count("text")
+    n_bpe = bpe_ish_token_count("text")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_bpe.alias("n_bpe"),
+        F.round(
+            n_bpe.cast("double") / F.greatest(n_words, F.lit(1)).cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.length("text").cast("double") / F.greatest(n_bpe, F.lit(1)).cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+SQL_TOKEN_FERTILITY = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS n_bpe,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_words, n_bpe,
+       ROUND(CAST(n_bpe AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS fertility,
+       ROUND(CAST(n_chars AS DOUBLE) / CAST(greatest(n_bpe, 1) AS DOUBLE), 6) AS chars_per_token
+FROM t
+"""
+
+
 def q_minhash_recall_vs_exact(spark, sf_dir):
     """Agreement gate for the MinHash-LSH path (mirrors
     lsh_recall_vs_exact): recall of minhash_lsh_pairs (32 hashes, 8
@@ -887,6 +971,8 @@ def catalog_ml():
         "ivf_recall_vs_exact": (q_ivf_recall_vs_exact, SQL_IVF_RECALL),
         "minhash_recall_vs_exact": (q_minhash_recall_vs_exact, SQL_MINHASH_RECALL),
         "simhash_recall_vs_exact": (q_simhash_recall_vs_exact, SQL_SIMHASH_RECALL),
+        "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
+        "token_fertility": (q_token_fertility, SQL_TOKEN_FERTILITY),
         "emb_norms": (q_emb_norms, SQL_EMB_NORMS),
         "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
         "dup_components": (q_dup_components, SQL_DUP_COMPONENTS),

@@ -241,3 +241,51 @@ def test_incremental_dedup_against_corpus_index(spark):
     idx2 = idx.unionByName(fingerprint_index(kept)).distinct()
     again = incremental_dedup(batch, idx2)
     assert again.count() == 0
+
+
+def test_segment_dedup_keep_first(spark):
+    """Corpus-wide keep-first over 4-word segments: doc 1 repeats doc
+    0's first block (dropped), doc 2 is entirely doc 0's blocks
+    (disappears), unique content is untouched and reassembled in
+    order."""
+    from fte.operators.dedup import segment_dedup
+
+    texts = [
+        "a b c d e f g h",            # doc 0: segs [a b c d][e f g h]
+        "a b c d x y z w",            # doc 1: first seg repeats doc 0
+        "e f g h a b c d",            # doc 2: both segs repeat doc 0
+        "p q r s t",                  # doc 3: unique, 2 segs (4+1)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(4), "text": texts})
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    out = (
+        segment_dedup(df, seg_words=4, hashed=True)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert out["doc_id"].tolist() == [0, 1, 3]  # doc 2 fully deduped
+    assert out.set_index("doc_id")["text_dedup"].to_dict() == {
+        0: "a b c d e f g h",
+        1: "x y z w",
+        3: "p q r s t",
+    }
+    assert out.set_index("doc_id")["n_segs"].to_dict() == {0: 2, 1: 2, 3: 2}
+    assert out.set_index("doc_id")["n_kept"].to_dict() == {0: 2, 1: 1, 3: 2}
+
+
+def test_segment_dedup_hashed_matches_raw(spark):
+    """The 8-byte-key production path and the raw-string oracle path
+    must select identical segments."""
+    from fte.operators.dedup import segment_dedup
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 40))) for _ in range(40)]
+    # plant block repeats
+    texts.append(texts[0])
+    texts.append(texts[1] + " " + texts[2])
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    a = segment_dedup(df, seg_words=8, hashed=True).orderBy("doc_id").toPandas()
+    b = segment_dedup(df, seg_words=8, hashed=False).orderBy("doc_id").toPandas()
+    assert a.equals(b)
