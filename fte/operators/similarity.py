@@ -553,6 +553,103 @@ def ivf_topk(
     return _topk_with_rank(scored, [F.desc("cos_sim"), F.asc(id_col)], k)
 
 
+def ivf_knn_join(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Batch ANN: approximate top-k per query over an IVF-assigned
+    corpus — the batch twin of ``ivf_topk`` with ``knn_join``'s
+    per-partition GEMM discipline.
+
+    Each query probes its ``nprobe`` best cells (driver-side argsort
+    against the tiny centroid matrix). ONE corpus pass scans only the
+    union of probed cells (at scale the assigned table is partitioned
+    by ivf_cell, so this prunes files at the scan); inside each Arrow
+    batch one GEMM scores all queries at once and scores outside a
+    query's probe set are masked to -inf before the partition-local
+    top-k. Only ~k·Q candidate rows leave each partition.
+
+    Output: (query_id, vec_id, cos_sim, rank) — rank within the
+    probed cells (approximate; agreement vs exact knn_join is gated
+    in the catalog)."""
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        raise ValueError("ivf_knn_join: empty query set")
+    qids = np.array([int(r[0]) for r in qrows], dtype="int64")
+    Q = np.stack([np.asarray(list(r[1]), dtype="float64") for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    C = np.ascontiguousarray(centroids, dtype="float64")
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    union_cells = sorted({int(c) for row in probe for c in row})
+    bc = assigned.sparkSession.sparkContext.broadcast((qids, Qn, probe))
+    out_schema = f"{query_id} long, {corpus_id} long, cos_sim double"
+
+    def part_topk(batches):
+        qids_, Qn_, probe_ = bc.value
+        nq = len(qids_)
+        cand_ids: list[list[np.ndarray]] = [[] for _ in range(nq)]
+        cand_sims: list[list[np.ndarray]] = [[] for _ in range(nq)]
+
+        def keep_topk(ids: np.ndarray, sims: np.ndarray):
+            if len(sims) <= k:
+                return ids, sims
+            kth = np.partition(-sims, k - 1)[k - 1]
+            sel = -sims <= kth
+            return ids[sel], sims[sel]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _stack(pdf[corpus_vec])
+            n = np.linalg.norm(V, axis=1)
+            n[n == 0] = 1.0
+            S = (V / n[:, None]) @ Qn_.T
+            ids = pdf[corpus_id].to_numpy()
+            cells = pdf["ivf_cell"].to_numpy()
+            for j in range(nq):
+                m = np.isin(cells, probe_[j])
+                if not m.any():
+                    continue
+                bi, bs = keep_topk(ids[m], S[m, j])
+                cand_ids[j].append(bi)
+                cand_sims[j].append(bs)
+        out_q, out_i, out_s = [], [], []
+        for j in range(nq):
+            if not cand_ids[j]:
+                continue
+            ids = np.concatenate(cand_ids[j])
+            sims = np.concatenate(cand_sims[j])
+            ids, sims = keep_topk(ids, sims)
+            out_q.append(np.full(len(ids), qids_[j], dtype="int64"))
+            out_i.append(ids)
+            out_s.append(sims)
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    query_id: np.concatenate(out_q),
+                    corpus_id: np.concatenate(out_i),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+    cand = assigned.filter(F.col("ivf_cell").isin(union_cells)).select(
+        corpus_id, corpus_vec, "ivf_cell"
+    )
+    scored = cand.mapInPandas(part_topk, out_schema)
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def mean_pool_embeddings(
     df: DataFrame,
     group_col: str,

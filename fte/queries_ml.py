@@ -731,6 +731,56 @@ def q_ivf_topk(spark, sf_dir):
     return got.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_ivf_knn_batch(spark, sf_dir):
+    """Batch ANN: top-5 per query (vec_ids 0-2) over IVF cells —
+    ivf_topk's batch twin with knn_join's per-partition GEMM + cell
+    masking (rows-only: approximate by design; agreement vs the exact
+    batch knn is the oracle-checked ivf_knn_recall_vs_exact row)."""
+    from fte.operators.similarity import ivf_knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assigned, C = ivf_build(e, n_cells=16)
+    got = ivf_knn_join(assigned, C, queries, k=5, nprobe=4)
+    return got.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ivf_knn_recall_vs_exact(spark, sf_dir):
+    """Agreement gate for batch IVF ANN: overlap of ivf_knn_join's
+    top-5-per-query (16 cells, nprobe=4 — a 4x scan reduction) with
+    the exact GEMM knn_join over the same 3 queries. Deterministic →
+    pinned for sf0.01 (12/15)."""
+    from fte.operators.similarity import ivf_knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_join(e, queries, k=5).select("query_id", "vec_id")
+    assigned, C = ivf_build(e, n_cells=16)
+    approx = ivf_knn_join(assigned, C, queries, k=5, nprobe=4).select(
+        "query_id", "vec_id"
+    )
+    overlap = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    ex = exact.agg(F.count("*").alias("n_exact"))
+    ov = overlap.agg(F.count("*").alias("n_overlap"))
+    return ex.crossJoin(ov).select(
+        "n_exact", "n_overlap",
+        (F.col("n_overlap") / F.col("n_exact")).cast("double").alias("recall"),
+    )
+
+
+SQL_IVF_KNN_RECALL = """
+SELECT CAST(15 AS BIGINT) AS n_exact, CAST(12 AS BIGINT) AS n_overlap,
+       CAST(12 AS DOUBLE) / CAST(15 AS DOUBLE) AS recall
+"""
+
+
 def q_emb_norms(spark, sf_dir):
     """Per-row embedding L2 norm via mapInArrow — the zero-copy Arrow
     surface (flat value-buffer numpy view, no pandas objects)."""
@@ -973,6 +1023,8 @@ def catalog_ml():
         "simhash_recall_vs_exact": (q_simhash_recall_vs_exact, SQL_SIMHASH_RECALL),
         "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
         "token_fertility": (q_token_fertility, SQL_TOKEN_FERTILITY),
+        "ivf_knn_batch": (q_ivf_knn_batch, None),
+        "ivf_knn_recall_vs_exact": (q_ivf_knn_recall_vs_exact, SQL_IVF_KNN_RECALL),
         "emb_norms": (q_emb_norms, SQL_EMB_NORMS),
         "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
         "dup_components": (q_dup_components, SQL_DUP_COMPONENTS),

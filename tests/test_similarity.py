@@ -313,3 +313,29 @@ def test_gemm_all_pairs_deterministic_under_ties(spark):
         )
         assert list(zip(got["id_a"], got["id_b"])) == expect
         assert got["cos_sim"].round(9).tolist() == [1.0] * 10
+
+
+def test_ivf_knn_join_matches_per_query_ivf_topk(spark, emb_df, emb_pdf):
+    """Batch IVF ANN must equal the single-query ivf_topk per query
+    (same cells, same nprobe): identical ids, ranks, and scores."""
+    from fte.operators.similarity import ivf_knn_join
+
+    assigned, C = ivf_build(emb_df, n_cells=10)
+    queries = spark.createDataFrame(
+        emb_pdf.iloc[:3].rename(columns={"vec_id": "query_id"}),
+        "query_id long, embedding array<float>",
+    )
+    batch = (
+        ivf_knn_join(assigned.repartition(5), C, queries, k=5, nprobe=3)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    for qid in range(3):
+        q = emb_pdf["embedding"].iloc[qid]
+        single = (
+            ivf_topk(assigned, C, q, k=5, nprobe=3)
+            .toPandas().sort_values("rank")
+        )
+        sub = batch[batch["query_id"] == qid]
+        assert sub["vec_id"].tolist() == single["vec_id"].tolist()
+        assert np.allclose(sub["cos_sim"].to_numpy(), single["cos_sim"].to_numpy(),
+                           rtol=1e-9, atol=1e-12)
