@@ -59,6 +59,11 @@ EXTRA = [
     "decontaminate",
     "unigram_xent",
     "source_mix",
+    # round-3 additions
+    "segment_dedup",
+    "bm25_batch",
+    "token_fertility",
+    "ivf_knn_batch",
 ]
 
 # synthetic transcript scale per sf dir (turns ≈ n_convs × ~15)

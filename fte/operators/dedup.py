@@ -316,6 +316,56 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
+def canonical_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Quality-aware canonical selection: one surviving document per
+    duplicate cluster — the highest-``quality_col`` member (ties → min
+    id) — instead of exact_dedup's min-id rule. This is the production
+    near-dup keep rule (keep the longest / best-scored copy, drop the
+    rest).
+
+    Clusters come from ``duplicate_components`` over ``pairs``; docs
+    in no pair are their own singleton cluster. The winner aggregate
+    is max(struct(quality, -id)) per component — a hash aggregate with
+    map-side combine, no window over cluster members.
+
+    Output: (id_col, component_id, canonical_id, is_canonical).
+    """
+    comps = duplicate_components(pairs, max_iter)
+    labeled = (
+        df.select(F.col(id_col), F.col(quality_col))
+        .join(comps, df[id_col] == comps["id"], "left")
+        .select(
+            id_col,
+            quality_col,
+            F.coalesce("comp", F.col(id_col)).cast("long").alias("component_id"),
+        )
+    )
+    winners = (
+        labeled.groupBy("component_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(quality_col).alias("q"),
+                    (-F.col(id_col)).alias("nid"),
+                )
+            ).alias("_w")
+        )
+        .select("component_id", (-F.col("_w.nid")).cast("long").alias("canonical_id"))
+    )
+    return labeled.join(winners, "component_id").select(
+        F.col(id_col),
+        "component_id",
+        "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
 # ------------------------------------------------------------ simhash
 
 def simhash_table(

@@ -58,6 +58,58 @@ def with_split(
     return df.withColumn(out_col, F.lit(out) if isinstance(out, str) else out)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    pos_col: str = "shuffle_pos",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Seed-stable global training order: every row gets a dense 0-based
+    position in the order (hash_uniform(key, seed), key) — the
+    reproducible corpus shuffle a training run reads, identical across
+    runs, partitionings, and cluster sizes (the position is a pure
+    function of the key set and seed).
+
+    Scale shape — global positions WITHOUT a global single-task
+    window: rows are range-partitioned and sorted on the shuffle key
+    (a normal distributed sort), materialized once (localCheckpoint),
+    then position = partition-local row_number (parallel per
+    partition) + the exclusive prefix sum of partition sizes. The only
+    driver traffic is one count per partition (the same two-pass
+    offset scheme a sorted writer uses). Positions are independent of
+    where range boundaries land because (u, key) is a total order.
+    """
+    from pyspark.sql import Window
+
+    base = df.withColumn("_u", hash_uniform(key_col, seed))
+    parts = n_partitions or base.sparkSession.sparkContext.defaultParallelism
+    arranged = (
+        base.repartitionByRange(parts, F.col("_u"), F.col(key_col))
+        .sortWithinPartitions("_u", key_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partitioning: the size pass
+        # and the position pass must see identical partitions
+    )
+    sizes = arranged.groupBy("_pid").count().collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(sizes, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    omap = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("_pid").orderBy("_u", key_col)
+    return (
+        arranged.withColumn(
+            pos_col,
+            (F.row_number().over(w) - 1 + omap[F.col("_pid")]).cast("long"),
+        )
+        .drop("_u", "_pid")
+    )
+
+
 def sample_by_hash(df: DataFrame, key_col: str, fraction: float, seed: int = 42) -> DataFrame:
     """Deterministic `fraction` sample by key hash — unlike
     DataFrame.sample, the selected set is a pure function of

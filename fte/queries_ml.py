@@ -218,6 +218,103 @@ GROUP BY w.id
 """
 
 
+def q_canonical_per_cluster(spark, sf_dir):
+    """Quality-aware canonical per duplicate cluster: over the exact
+    n-gram-Jaccard clusters, keep the member with the most whitespace
+    tokens (the keep-the-longest production rule — each mutant is its
+    original plus an appended tail, so the MUTANT wins its cluster,
+    proving this is not min-id). Oracle: the dup_components recursive
+    closure extended with a per-component arg-max."""
+    from fte.operators.dedup import canonical_per_cluster
+
+    d = _docs_with_mutants(spark, sf_dir).filter(token_count("text") >= 3)
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    quality = d.select("doc_id", token_count("text").alias("q"))
+    out = canonical_per_cluster(quality, pairs, quality_col="q")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "component_id", "canonical_id", "is_canonical",
+    )
+
+
+SQL_CANONICAL = f"""
+WITH RECURSIVE uu AS ({SQL_DOCS_MUT}),
+w0 AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM uu
+),
+g0 AS (
+  SELECT doc_id, len(ws) AS q,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) AS grams
+  FROM w0 WHERE len(ws) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g0 a JOIN g0 b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / GREATEST(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.5
+),
+e AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+),
+walk AS (
+  SELECT id_a AS id, id_b AS reach FROM e
+  UNION
+  SELECT w.id, e2.id_b AS reach FROM walk w JOIN e e2 ON w.reach = e2.id_a
+),
+compmap AS (
+  SELECT w.id, LEAST(w.id, MIN(w.reach)) AS component_id
+  FROM walk w GROUP BY w.id
+),
+labeled AS (
+  SELECT g0.doc_id, g0.q,
+         COALESCE(c.component_id, g0.doc_id) AS component_id
+  FROM g0 LEFT JOIN compmap c ON c.id = g0.doc_id
+),
+win AS (
+  SELECT component_id, doc_id AS canonical_id
+  FROM (
+    SELECT component_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY component_id
+                              ORDER BY q DESC, doc_id ASC) AS rn
+    FROM labeled
+  ) WHERE rn = 1
+)
+SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+       CAST(l.component_id AS BIGINT) AS component_id,
+       CAST(w.canonical_id AS BIGINT) AS canonical_id,
+       l.doc_id = w.canonical_id AS is_canonical
+FROM labeled l JOIN win w USING (component_id)
+"""
+
+
+def q_shuffle_order(spark, sf_dir):
+    """Seed-stable global training order over the documents table:
+    position = dense rank in (md5-uniform(doc_id, seed=42), doc_id)
+    order, computed distributed (range-sort + per-partition offsets —
+    never a global single-task window)."""
+    from fte.operators.sampling import deterministic_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, "doc_id", seed=42, n_partitions=8).select(
+        "doc_id", "shuffle_pos"
+    )
+
+
+SQL_SHUFFLE_ORDER = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY u, doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT) AS DOUBLE)
+           / CAST(4294967296.0 AS DOUBLE) AS u
+  FROM documents)
+"""
+
+
 def q_token_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1025,6 +1122,8 @@ def catalog_ml():
         "token_fertility": (q_token_fertility, SQL_TOKEN_FERTILITY),
         "ivf_knn_batch": (q_ivf_knn_batch, None),
         "ivf_knn_recall_vs_exact": (q_ivf_knn_recall_vs_exact, SQL_IVF_KNN_RECALL),
+        "canonical_per_cluster": (q_canonical_per_cluster, SQL_CANONICAL),
+        "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
         "emb_norms": (q_emb_norms, SQL_EMB_NORMS),
         "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
         "dup_components": (q_dup_components, SQL_DUP_COMPONENTS),

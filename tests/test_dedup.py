@@ -289,3 +289,33 @@ def test_segment_dedup_hashed_matches_raw(spark):
     a = segment_dedup(df, seg_words=8, hashed=True).orderBy("doc_id").toPandas()
     b = segment_dedup(df, seg_words=8, hashed=False).orderBy("doc_id").toPandas()
     assert a.equals(b)
+
+
+def test_canonical_per_cluster_quality_rule(spark):
+    """Highest-quality member wins the cluster (ties -> min id);
+    singletons are their own canonical."""
+    from fte.operators.dedup import canonical_per_cluster
+
+    quality = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 7, 9], "q": [5, 9, 9, 4, 2]}),
+        "doc_id long, q long",
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]}),  # cluster {1,2,3}
+        "id_a long, id_b long",
+    )
+    out = (
+        canonical_per_cluster(quality, pairs, quality_col="q")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    got = out.set_index("doc_id")
+    # cluster {1,2,3}: q 5,9,9 -> tie between 2 and 3 -> min id 2 wins
+    assert got.loc[1, "canonical_id"] == 2 and not got.loc[1, "is_canonical"]
+    assert got.loc[2, "canonical_id"] == 2 and got.loc[2, "is_canonical"]
+    assert got.loc[3, "canonical_id"] == 2 and not got.loc[3, "is_canonical"]
+    assert got.loc[1, "component_id"] == 1  # min-id component label
+    # singletons 7 and 9 are their own canonical
+    for s in (7, 9):
+        assert got.loc[s, "component_id"] == s
+        assert got.loc[s, "canonical_id"] == s and got.loc[s, "is_canonical"]

@@ -97,3 +97,37 @@ def test_sample_sources_monotone_and_stable(spark):
     # empirical rate in the right ballpark (100 keys per source)
     n_a = sum(1 for i in lo if i % 4 == 0)
     assert 8 <= n_a <= 35  # 20% of 100 ± binomial noise
+
+
+def test_deterministic_shuffle_is_stable_permutation(spark):
+    """shuffle_pos is a dense 0..n-1 permutation, equals the pandas
+    md5-order reference, and is invariant to input partitioning and
+    operator partition count."""
+    import hashlib
+
+    from fte.operators.sampling import deterministic_shuffle
+
+    n = 500
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(n)}), "doc_id long"
+    )
+
+    def u(k: int) -> float:
+        h = hashlib.md5(f"{k}#42".encode()).hexdigest()
+        return int(h[:8], 16) / 2**32
+
+    expect = {
+        k: pos
+        for pos, k in enumerate(sorted(range(n), key=lambda k: (u(k), k)))
+    }
+    a = (
+        deterministic_shuffle(df, "doc_id", seed=42, n_partitions=4)
+        .toPandas().set_index("doc_id")["shuffle_pos"].to_dict()
+    )
+    b = (
+        deterministic_shuffle(df.repartition(13), "doc_id", seed=42, n_partitions=7)
+        .toPandas().set_index("doc_id")["shuffle_pos"].to_dict()
+    )
+    assert a == expect
+    assert b == expect
+    assert sorted(a.values()) == list(range(n))
