@@ -108,3 +108,37 @@ def test_pipeline_operator_plan_shapes(spark, transcripts_df):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, (
         "bench grams must broadcast; corpus must not shuffle on gram key"
     )
+
+
+def test_segment_dedup_plan_shape(spark):
+    """Segment dedup must do keep-first WITHOUT any window operator
+    (ownership is a hash aggregate over 8-byte keys with map-side
+    combine): no Window node, and the ownership exchange partitions on
+    the LONG segment hash, never a string segment column."""
+    import pandas as pd
+
+    from fte.operators.dedup import segment_dedup
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(20), "text": ["a b c d e f g h"] * 20}),
+        "doc_id long, text string",
+    )
+    plan = _plan(segment_dedup(df, seg_words=4, hashed=True))
+    assert "Window" not in plan, plan
+    assert re.search(r"Exchange hashpartitioning\(segment#\d+L", plan), plan
+
+
+def test_deterministic_shuffle_window_is_partitioned(spark):
+    """Global positions must come from a partition-parallel window
+    (partitionBy _pid), never an unpartitioned global window."""
+    import pandas as pd
+
+    from fte.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(50)}), "doc_id long"
+    )
+    plan = _plan(deterministic_shuffle(df, "doc_id", n_partitions=4))
+    m = re.search(r"windowspecdefinition\(([^,]+),", plan)
+    assert m, plan
+    assert m.group(1).startswith("_pid"), f"window not partitioned by _pid: {m.group(1)}"
