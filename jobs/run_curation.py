@@ -19,6 +19,11 @@ Stages (each count printed in CURATION_RESULT):
   5. exact dedup         (fingerprint left-semi, min doc_id survives)
   6. near-dup drop       (MinHash LSH banded candidates + exact-Jaccard
                           verify; id_b of each verified pair dropped)
+  6b. segment dedup      (--seg-words N, off by default: corpus-wide
+                          keep-first removal of repeated N-word blocks
+                          — the C4 repeated-paragraph rule; surviving
+                          text is the normalized reassembly, docs that
+                          were entirely repeats disappear)
   7. RAG chunking        (overlapping word windows over survivors)
   8. split assignment    (hash-stable train/val/test on doc_id —
                           BEFORE packing, so no bin mixes splits)
@@ -57,6 +62,7 @@ def curate(
     capacity: int = 2048,
     id_col: str = "doc_id",
     text_col: str = "text",
+    seg_words: int = 0,
 ) -> dict:
     from fte.operators.dedup import exact_dedup, minhash_lsh_pairs
     from fte.operators.packing import pack_documents
@@ -100,6 +106,19 @@ def curate(
     losers = pairs.select(F.col("id_b").alias(id_c)).distinct()
     d = d.join(losers, id_c, "left_anti")
     funnel["n_neardup"] = d.count()
+
+    # 6b (opt-in): cross-document repeated-block removal — every
+    # repeated seg_words-word block keeps only its first corpus-wide
+    # occurrence; the surviving text is the normalized reassembly and
+    # docs that were entirely repeats drop out
+    if seg_words:
+        from fte.operators.dedup import segment_dedup
+
+        sd = segment_dedup(d, id_c, txt, seg_words=seg_words)
+        d = d.drop(txt).join(
+            sd.select(id_c, F.col("text_dedup").alias(txt)), id_c
+        )
+        funnel["n_segment"] = d.count()
 
     # 8 (before 7/9 so chunks inherit it): hash-stable split on doc_id
     d = with_split(d, id_c).localCheckpoint()  # funnel counted; cut lineage
@@ -149,6 +168,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--capacity", type=int, default=2048)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--seg-words", type=int, default=0,
+                    help="enable cross-doc repeated-block removal at "
+                    "this block width (0 = off)")
     args = ap.parse_args(argv)
 
     builder = SparkSession.builder.appName("fte-curation")
@@ -161,6 +183,7 @@ def main(argv: list[str] | None = None) -> int:
         lang=args.lang, min_quality=args.min_quality,
         chunk_words=args.chunk_words, stride=args.stride,
         capacity=args.capacity, id_col=args.id_col, text_col=args.text_col,
+        seg_words=args.seg_words,
     )
     print("CURATION_RESULT " + json.dumps(funnel))
     return 0

@@ -67,3 +67,33 @@ def test_curation_funnel_end_to_end(spark, tmp_path):
     for (s, sh, b), g in chunks.groupby(["split", "shard", "bin_idx"]):
         assert g["n_tokens"].sum() <= 64 or len(g) == 1  # oversize singleton ok
         assert g["split"].nunique() == 1
+
+
+def test_curation_with_segment_dedup_stage(spark, tmp_path):
+    """--seg-words enables cross-doc repeated-block removal: docs 0,
+    1, 6 all open with the same CLEAN prefix, so doc 0 (first owner)
+    keeps its blocks and the later docs lose them, keeping only their
+    genuinely new content."""
+    from jobs.run_curation import curate
+
+    src = str(tmp_path / "docs_in_seg")
+    out = str(tmp_path / "cur_out_seg")
+    spark.createDataFrame(_mk_docs()).write.parquet(src)
+
+    funnel = curate(
+        spark, src, out, chunk_words=16, stride=12, capacity=64,
+        seg_words=8,
+    )
+    assert funnel["n_neardup"] == 3
+    assert funnel["n_segment"] <= 3
+    docs = spark.read.parquet(f"{out}/documents").toPandas()
+    by_id = docs.set_index("doc_id")["text"].to_dict()
+    # doc 0 (first owner) keeps its opening block
+    assert 0 in by_id and by_id[0].startswith("the quick brown fox")
+    # later docs lose the repeated opening block but keep unique tails
+    for did, text in by_id.items():
+        if did == 0:
+            continue
+        assert not text.startswith("the quick brown fox"), (did, text[:60])
+    if 1 in by_id:
+        assert "another fine day" in by_id[1]
