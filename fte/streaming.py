@@ -192,6 +192,83 @@ def streaming_ewma(
     )
 
 
+ROLLING_SCHEMA = (
+    "conv_id string, turn_idx int, ts timestamp, n_so_far long, "
+    "n_user long, n_assistant long, user_frac double, len_mean double"
+)
+_ROLLING_STATE_SCHEMA = "n long, n_user long, n_assistant long, len_sum double"
+
+
+def streaming_rolling_features(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the serve-time rolling-feature core
+    (fte/operators/windows.py: rolling counts, running role
+    frequencies, running text-length mean): state per conv_id carries
+    (n, n_user, n_assistant, len_sum) across micro-batches, so every
+    emitted turn sees EXACTLY the turns with ts <= its own — the same
+    leakage-safe currentRow-bounded frames the batch windows use, and
+    a conversation spanning triggers continues the same running sums.
+    Deterministic given in-order arrival per conv (append-only
+    transcript logs); parity vs the batch frames is pytest-gated.
+
+    Per turn: n_so_far, n_user, n_assistant, user_frac, len_mean.
+    """
+    import pandas as pd
+
+    def step(key, pdfs, state):
+        conv_id = key[0]
+        if state.exists:
+            n, n_user, n_asst, len_sum = state.get
+        else:
+            n, n_user, n_asst, len_sum = 0, 0, 0, 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            roles = pdf["role"].to_numpy()
+            lens = pdf["_len"].astype("float64").to_numpy()
+            o_n, o_u, o_a, o_uf, o_lm = [], [], [], [], []
+            for r, ln in zip(roles, lens):
+                n += 1
+                if r == "user":
+                    n_user += 1
+                elif r == "assistant":
+                    n_asst += 1
+                len_sum += float(ln)
+                o_n.append(n)
+                o_u.append(n_user)
+                o_a.append(n_asst)
+                o_uf.append(n_user / n)
+                o_lm.append(len_sum / n)
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "n_so_far": pd.array(o_n, dtype="int64"),
+                    "n_user": pd.array(o_u, dtype="int64"),
+                    "n_assistant": pd.array(o_a, dtype="int64"),
+                    "user_frac": pd.array(o_uf, dtype="float64"),
+                    "len_mean": pd.array(o_lm, dtype="float64"),
+                }
+            )
+        state.update((n, n_user, n_asst, len_sum))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.select(
+            "conv_id", "turn_idx", "ts", "role",
+            F.length("text").cast("double").alias("_len"),
+        )
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            step,
+            outputStructType=ROLLING_SCHEMA,
+            stateStructType=_ROLLING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     text_col: str = "text",

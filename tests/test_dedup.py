@@ -319,3 +319,28 @@ def test_canonical_per_cluster_quality_rule(spark):
     for s in (7, 9):
         assert got.loc[s, "component_id"] == s
         assert got.loc[s, "canonical_id"] == s and got.loc[s, "is_canonical"]
+
+
+def test_segment_dedup_each_distinct_segment_kept_exactly_once(spark):
+    """Global invariant: sum(n_kept) over all docs == the number of
+    DISTINCT segments in the corpus — every distinct block survives in
+    exactly one place (its first occurrence), none vanish, none stay
+    duplicated."""
+    from fte.operators.dedup import segment_dedup, segment_rows
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> many repeats
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        "doc_id long, text string",
+    )
+    out = segment_dedup(df, seg_words=4, hashed=True).toPandas()
+    n_distinct = (
+        segment_rows(df, seg_words=4, hashed=True)
+        .select("segment").distinct().count()
+    )
+    assert int(out["n_kept"].sum()) == n_distinct

@@ -148,3 +148,58 @@ def test_streaming_dedup_matches_batch(spark, transcripts_pdf, tmp_path):
     assert got["fingerprint"].is_unique
     assert set(got["fingerprint"]) == batch_fps
     assert len(got) == len(batch)
+
+
+def test_streaming_rolling_features_match_batch(spark, transcripts_pdf, tmp_path):
+    """Stateful streaming rolling features == the batch currentRow-
+    bounded window frames, with state carried across micro-batches
+    (many files -> several triggers)."""
+    from pyspark.sql import Window, functions as F
+
+    from fte.streaming import streaming_rolling_features
+
+    src = str(tmp_path / "src_roll")
+    (
+        spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA)
+        .repartition(40, "conv_id")
+        .write.parquet(src)
+    )
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(src)
+    )
+    result = streaming_rolling_features(stream)
+    run_available_now(result, str(tmp_path / "ckpt_roll"), "roll_stream", mode="update")
+    got = (
+        spark.table("roll_stream")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ts", "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batch = (
+        spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA)
+        .select(
+            "conv_id", "turn_idx",
+            F.count("*").over(w).alias("n_so_far"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).over(w).alias("n_user"),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).over(w).alias("n_assistant"),
+            F.avg(F.length("text").cast("double")).over(w).alias("len_mean"),
+        )
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch)
+    for col in ("n_so_far", "n_user", "n_assistant"):
+        assert got[col].tolist() == batch[col].tolist(), col
+    import numpy as np
+
+    assert np.allclose(got["len_mean"], batch["len_mean"], rtol=1e-12)
+    assert np.allclose(got["user_frac"], got["n_user"] / got["n_so_far"], rtol=1e-12)
