@@ -113,3 +113,44 @@ def render_conversations(
     return agg.select(
         conv_col, "n_turns", F.array_join(texts, turn_sep).alias("sft_text")
     )
+
+
+def sft_loss_spans(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    loss_role: str = "assistant",
+    turn_sep: str = "\n",
+) -> DataFrame:
+    """Loss-mask spans for the ``render_conversations`` documents: the
+    0-based character ranges [span_start, span_end) inside ``sft_text``
+    that cover each ``loss_role`` turn — SFT training computes loss
+    only on assistant tokens, so the renderer must ship these offsets
+    with the text (re-deriving them tokenizer-side re-parses the
+    template and breaks on role strings appearing in content).
+
+    Pure codegen companion to the renderer: rendered-turn length per
+    row, one window cumsum over (len + len(turn_sep)) with the frame
+    ending at 1 PRECEDING — same single conv shuffle. Offsets are
+    exact by construction for any template where turns are joined by
+    ``turn_sep``; span parity with substring() is pytest-gated.
+
+    Output: conv + order cols, span_start, span_end (end-exclusive).
+    """
+    rendered = render_turn(role_col, text_col)
+    rlen = F.length(rendered)
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sep_len = len(turn_sep)
+    start = F.coalesce(F.sum(rlen + F.lit(sep_len)).over(w), F.lit(0))
+    return (
+        df.withColumn("span_start", start.cast("long"))
+        .withColumn("span_end", (start + rlen).cast("long"))
+        .filter(F.col(role_col) == loss_role)
+        .select(conv_col, *order_cols, "span_start", "span_end")
+    )

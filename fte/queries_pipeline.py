@@ -98,6 +98,52 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_sft_spans(spark, sf_dir):
+    """Loss-mask spans inside the rendered SFT documents: 0-based
+    [start, end) character ranges of every 'click' (loss-role) turn —
+    the offsets a trainer uses to mask non-assistant tokens. Window
+    cumsum over rendered-turn lengths, same single conv shuffle as
+    the renderer; substring-exactness is pytest-gated."""
+    from fte.operators.pairs import sft_loss_spans
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_txt", F.concat_ws("#", "event_type", F.col("event_id").cast("string"))
+    )
+    out = sft_loss_spans(
+        ev,
+        conv_col="user_id",
+        order_cols=("ts", "event_id"),
+        role_col="event_type",
+        text_col="_txt",
+        loss_role="click",
+        turn_sep="\n",
+    )
+    return out.select(
+        "user_id", F.col("event_id").alias("span_id"), "span_start", "span_end"
+    ).orderBy("span_id")
+
+
+SQL_SFT_SPANS = """
+WITH r AS (
+  SELECT user_id, event_id, ts, event_type,
+         event_type || ': ' || event_type || '#' || CAST(event_id AS VARCHAR) AS rt
+  FROM events
+), w AS (
+  SELECT user_id, event_id, event_type,
+         COALESCE(SUM(LENGTH(rt) + 1) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS span_start,
+         LENGTH(rt) AS rlen
+  FROM r
+)
+SELECT user_id, event_id AS span_id,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_start + rlen AS BIGINT) AS span_end
+FROM w WHERE event_type = 'click' ORDER BY span_id
+"""
+
+
 # ------------------------------------------------- repetition filters
 
 def q_repetition_stats(spark, sf_dir):
@@ -665,6 +711,7 @@ def catalog_pipeline():
     return {
         "training_pairs": (q_training_pairs, SQL_TRAINING_PAIRS),
         "sft_render": (q_sft_render, SQL_SFT_RENDER),
+        "sft_spans": (q_sft_spans, SQL_SFT_SPANS),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION),
         "pii_redact": (q_pii_redact, SQL_PII),
         "doc_chunks": (q_chunk_documents, SQL_CHUNKS),

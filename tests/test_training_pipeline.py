@@ -362,3 +362,31 @@ def test_bm25_batch_hot_term_skew(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "_salt" in plan
+
+
+def test_sft_loss_spans_substring_exact(spark):
+    """Every span, sliced out of the rendered sft_text, is exactly the
+    rendered loss-role turn — offsets exact for multi-turn convs,
+    conversation-opening turns (span_start 0), and any turn content."""
+    from fte.operators.pairs import render_conversations, sft_loss_spans
+
+    rows = [
+        ("c1", 0, "user", "hi there"),
+        ("c1", 1, "assistant", "hello! how can i help"),
+        ("c1", 2, "user", "what is spark"),
+        ("c1", 3, "assistant", "a distributed engine"),
+        ("c2", 0, "assistant", "opening statement"),  # span_start == 0
+        ("c2", 1, "user", "ok"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    )
+    docs = render_conversations(df).toPandas().set_index("conv_id")["sft_text"]
+    spans = sft_loss_spans(df).toPandas()
+    assert len(spans) == 3
+    for _, r in spans.iterrows():
+        text = docs[r["conv_id"]]
+        piece = text[r["span_start"]:r["span_end"]]
+        orig = [t for t in rows if t[0] == r["conv_id"] and t[1] == r["turn_idx"]][0]
+        assert piece == f"{orig[2]}: {orig[3]}"
+    assert spans.set_index(["conv_id", "turn_idx"]).loc[("c2", 0), "span_start"] == 0
