@@ -133,9 +133,14 @@ def sft_loss_spans(
 
     Pure codegen companion to the renderer: rendered-turn length per
     row, one window cumsum over (len + len(turn_sep)) with the frame
-    ending at 1 PRECEDING — same single conv shuffle. Offsets are
-    exact by construction for any template where turns are joined by
-    ``turn_sep``; span parity with substring() is pytest-gated.
+    ending at 1 PRECEDING — same single conv shuffle. The window's
+    order is (order_cols..., rendered text) — the SAME total order
+    array_sort(struct(order_cols..., r)) gives the renderer — so even
+    dirty data with duplicate order keys yields offsets that match
+    the rendered document. Offsets correspond to the UNTRUNCATED
+    render (``max_turns=None``); for whale-capped documents compute
+    spans over the same pre-sliced turn subset instead. Span parity
+    with substring() is pytest-gated.
 
     Output: conv + order cols, span_start, span_end (end-exclusive).
     """
@@ -143,7 +148,7 @@ def sft_loss_spans(
     rlen = F.length(rendered)
     w = (
         Window.partitionBy(conv_col)
-        .orderBy(*order_cols)
+        .orderBy(*order_cols, rendered)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     sep_len = len(turn_sep)

@@ -92,21 +92,26 @@ def deterministic_shuffle(
         # and the position pass must see identical partitions
     )
     sizes = arranged.groupBy("_pid").count().collect()
-    offsets: dict[int, int] = {}
     acc = 0
+    offset_rows = []
     for r in sorted(sizes, key=lambda r: r["_pid"]):
-        offsets[r["_pid"]] = acc
+        offset_rows.append((int(r["_pid"]), acc))
         acc += r["count"]
-    omap = F.create_map(
-        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    # offsets join as a BROADCAST table, not a create_map literal: at
+    # thousands of partitions a map literal is thousands of
+    # expressions Catalyst must analyze/codegen per task, while the
+    # broadcast join stays constant-size in the plan
+    offsets_df = F.broadcast(
+        arranged.sparkSession.createDataFrame(offset_rows, "_pid int, _off long")
     )
     w = Window.partitionBy("_pid").orderBy("_u", key_col)
     return (
-        arranged.withColumn(
+        arranged.join(offsets_df, "_pid")
+        .withColumn(
             pos_col,
-            (F.row_number().over(w) - 1 + omap[F.col("_pid")]).cast("long"),
+            (F.row_number().over(w) - 1 + F.col("_off")).cast("long"),
         )
-        .drop("_u", "_pid")
+        .drop("_u", "_pid", "_off")
     )
 
 

@@ -68,7 +68,9 @@ def score_with_model(
     called lazily AT MOST ONCE per Python worker process — its result
     is cached in ``fte.operators.scoring._MODEL_CACHE`` (a worker-side
     module global, shared across tasks) under ``cache_key`` (default:
-    the loader's module.qualname) — then applied per Arrow batch. Swap
+    the sha256 of the loader's cloudpickle bytes, so distinct lambdas
+    never collide and identical loaders share) — then applied per
+    Arrow batch. Swap
     ``fake_quality_model`` for a real loader::
 
         score_with_model(docs, lambda: fasttext.load_model(...).predict_wrapper)
@@ -77,10 +79,19 @@ def score_with_model(
     (the text itself never returns from the workers).
     """
     schema = f"{id_col} long, {out_col} double"
-    key = cache_key or (
-        f"{getattr(model_loader, '__module__', '?')}."
-        f"{getattr(model_loader, '__qualname__', repr(model_loader))}"
-    )
+    if cache_key is None:
+        # content-addressed default: two DIFFERENT lambdas/closures
+        # must not share a key (module.qualname is '<lambda>' for
+        # every lambda — a collision silently scores with the wrong
+        # cached model), while byte-identical loaders SHOULD share
+        # one (same bytes -> same model). The loader is pickled once
+        # here anyway to ship to workers.
+        import hashlib
+
+        from pyspark import cloudpickle
+
+        cache_key = hashlib.sha256(cloudpickle.dumps(model_loader)).hexdigest()
+    key = cache_key
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # resolve the cache through the worker's module singleton —

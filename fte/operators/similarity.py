@@ -121,43 +121,35 @@ def brute_force_topk(
     return _topk_with_rank(scored, [F.desc("cos_sim"), F.asc(id_col)], k)
 
 
-def knn_join(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    corpus_id: str = "vec_id",
-    corpus_vec: str = "embedding",
-    query_id: str = "query_id",
-    query_vec: str = "embedding",
-) -> DataFrame:
-    """Exact top-k per query row for a (small, broadcastable) query
-    set. Output: (query_id, vec_id, cos_sim, rank).
-
-    Scale shape: the query set is materialized ONCE into an L2-
-    normalized numpy matrix and broadcast; each corpus partition runs
-    one numpy GEMM per Arrow batch against it (BLAS — the interpreted
-    HOF fold it replaces costs ~100µs/element, which at 10^9 rows ×
-    768 dims × Q queries IS the job) and keeps a partition-local
-    top-k-plus-ties per query. Only ~k·Q rows leave each partition, so
-    the final exact per-query window ranks ≤ k·n_partitions rows per
-    query — the corpus×Q scored rows never shuffle (the old
-    formulation shuffled them all into Q window partitions, capping
-    parallelism at Q). ``knn_join_hof`` is the sequential-accumulation
-    twin kept for cross-checking only.
-    """
+def _collect_query_matrix(queries: DataFrame, query_id: str, query_vec: str):
+    """(qids int64 array, L2-normalized float64 matrix) from a small
+    query DataFrame, or None when the set is empty. Query ids must be
+    integral (the engine's vec_id contract); string-keyed queries
+    should map to a surrogate long first."""
     qrows = queries.select(query_id, query_vec).collect()
     if not qrows:
-        raise ValueError("knn_join: empty query set")
+        return None
     qids = np.array([int(r[0]) for r in qrows], dtype="int64")
     Q = np.stack([np.asarray(list(r[1]), dtype="float64") for r in qrows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    bc = corpus.sparkSession.sparkContext.broadcast((qids, Qn))
-    out_schema = f"{query_id} long, {corpus_id} long, cos_sim double"
+    return qids, Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+
+def _gemm_partition_topk(bc, k: int, corpus_id: str, corpus_vec: str,
+                         query_id: str, cell_col: str | None = None):
+    """Shared mapInPandas body for the batch kNN operators: one numpy
+    GEMM per Arrow batch against the broadcast query matrix, a
+    partition-local top-k-plus-ties accumulator per query, ~k·Q rows
+    emitted per partition. With ``cell_col``, scores outside a query's
+    probe set (third broadcast element) are masked before selection
+    (the IVF variant)."""
 
     def part_topk(batches):
-        qids_, Qn_ = bc.value
+        if cell_col is None:
+            qids_, Qn_ = bc.value
+            probe_ = None
+        else:
+            qids_, Qn_, probe_ = bc.value
         nq = len(qids_)
-        # per-query candidate accumulators across the partition's batches
         cand_ids: list[list[np.ndarray]] = [[] for _ in range(nq)]
         cand_sims: list[list[np.ndarray]] = [[] for _ in range(nq)]
 
@@ -178,8 +170,15 @@ def knn_join(
             n[n == 0] = 1.0
             S = (V / n[:, None]) @ Qn_.T  # (batch, Q) — one GEMM
             ids = pdf[corpus_id].to_numpy()
+            cells = pdf[cell_col].to_numpy() if cell_col is not None else None
             for j in range(nq):
-                bi, bs = keep_topk(ids, S[:, j])
+                if cells is not None:
+                    m = np.isin(cells, probe_[j])
+                    if not m.any():
+                        continue
+                    bi, bs = keep_topk(ids[m], S[m, j])
+                else:
+                    bi, bs = keep_topk(ids, S[:, j])
                 cand_ids[j].append(bi)
                 cand_sims[j].append(bs)
         out_q, out_i, out_s = [], [], []
@@ -201,6 +200,47 @@ def knn_join(
                 }
             )
 
+    return part_topk
+
+
+def _empty_knn_result(spark, query_id: str, corpus_id: str) -> DataFrame:
+    return spark.createDataFrame(
+        [], f"{query_id} long, {corpus_id} long, cos_sim double, rank int"
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k per query row for a (small, broadcastable) query
+    set. Output: (query_id, vec_id, cos_sim, rank). An empty query
+    set returns an empty result (correct schema); query ids must be
+    integral (see _collect_query_matrix).
+
+    Scale shape: the query set is materialized ONCE into an L2-
+    normalized numpy matrix and broadcast; each corpus partition runs
+    one numpy GEMM per Arrow batch against it (BLAS — the interpreted
+    HOF fold it replaces costs ~100µs/element, which at 10^9 rows ×
+    768 dims × Q queries IS the job) and keeps a partition-local
+    top-k-plus-ties per query. Only ~k·Q rows leave each partition, so
+    the final exact per-query window ranks ≤ k·n_partitions rows per
+    query — the corpus×Q scored rows never shuffle (the old
+    formulation shuffled them all into Q window partitions, capping
+    parallelism at Q). ``knn_join_hof`` is the sequential-accumulation
+    twin kept for cross-checking only.
+    """
+    qm = _collect_query_matrix(queries, query_id, query_vec)
+    if qm is None:
+        return _empty_knn_result(corpus.sparkSession, query_id, corpus_id)
+    bc = corpus.sparkSession.sparkContext.broadcast(qm)
+    out_schema = f"{query_id} long, {corpus_id} long, cos_sim double"
+    part_topk = _gemm_partition_topk(bc, k, corpus_id, corpus_vec, query_id)
     scored = corpus.select(corpus_id, corpus_vec).mapInPandas(part_topk, out_schema)
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
     return (
@@ -578,67 +618,19 @@ def ivf_knn_join(
 
     Output: (query_id, vec_id, cos_sim, rank) — rank within the
     probed cells (approximate; agreement vs exact knn_join is gated
-    in the catalog)."""
-    qrows = queries.select(query_id, query_vec).collect()
-    if not qrows:
-        raise ValueError("ivf_knn_join: empty query set")
-    qids = np.array([int(r[0]) for r in qrows], dtype="int64")
-    Q = np.stack([np.asarray(list(r[1]), dtype="float64") for r in qrows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    in the catalog). Empty query sets return an empty result."""
+    qm = _collect_query_matrix(queries, query_id, query_vec)
+    if qm is None:
+        return _empty_knn_result(assigned.sparkSession, query_id, corpus_id)
+    qids, Qn = qm
     C = np.ascontiguousarray(centroids, dtype="float64")
     probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     union_cells = sorted({int(c) for row in probe for c in row})
     bc = assigned.sparkSession.sparkContext.broadcast((qids, Qn, probe))
     out_schema = f"{query_id} long, {corpus_id} long, cos_sim double"
-
-    def part_topk(batches):
-        qids_, Qn_, probe_ = bc.value
-        nq = len(qids_)
-        cand_ids: list[list[np.ndarray]] = [[] for _ in range(nq)]
-        cand_sims: list[list[np.ndarray]] = [[] for _ in range(nq)]
-
-        def keep_topk(ids: np.ndarray, sims: np.ndarray):
-            if len(sims) <= k:
-                return ids, sims
-            kth = np.partition(-sims, k - 1)[k - 1]
-            sel = -sims <= kth
-            return ids[sel], sims[sel]
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = _stack(pdf[corpus_vec])
-            n = np.linalg.norm(V, axis=1)
-            n[n == 0] = 1.0
-            S = (V / n[:, None]) @ Qn_.T
-            ids = pdf[corpus_id].to_numpy()
-            cells = pdf["ivf_cell"].to_numpy()
-            for j in range(nq):
-                m = np.isin(cells, probe_[j])
-                if not m.any():
-                    continue
-                bi, bs = keep_topk(ids[m], S[m, j])
-                cand_ids[j].append(bi)
-                cand_sims[j].append(bs)
-        out_q, out_i, out_s = [], [], []
-        for j in range(nq):
-            if not cand_ids[j]:
-                continue
-            ids = np.concatenate(cand_ids[j])
-            sims = np.concatenate(cand_sims[j])
-            ids, sims = keep_topk(ids, sims)
-            out_q.append(np.full(len(ids), qids_[j], dtype="int64"))
-            out_i.append(ids)
-            out_s.append(sims)
-        if out_q:
-            yield pd.DataFrame(
-                {
-                    query_id: np.concatenate(out_q),
-                    corpus_id: np.concatenate(out_i),
-                    "cos_sim": np.concatenate(out_s),
-                }
-            )
-
+    part_topk = _gemm_partition_topk(
+        bc, k, corpus_id, corpus_vec, query_id, cell_col="ivf_cell"
+    )
     cand = assigned.filter(F.col("ivf_cell").isin(union_cells)).select(
         corpus_id, corpus_vec, "ivf_cell"
     )

@@ -520,6 +520,24 @@ def bm25_topk_batch(
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    # dedupe terms within each query (first occurrence wins): a
+    # repeated term would get two _ti rows -> tf rows doubled -> df
+    # per (query, term) doubled -> idf corrupted, and the per-index
+    # pivot would sum the term twice. Termless queries drop out.
+    queries = {
+        q: tuple(dict.fromkeys(terms))
+        for q, terms in queries.items()
+        if terms
+    }
+    if not queries:
+        # graceful empty-batch contract (query sets are often driven
+        # by upstream data): empty result, correct schema
+        id_type = df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"query_id int, rank long, {id_col} {id_type}, "
+            "n_hit_terms long, bm25 double",
+        )
     qrows = [
         (int(q), t, i)
         for q, terms in queries.items()

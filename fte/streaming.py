@@ -65,6 +65,23 @@ SESSION_LABEL_SCHEMA = "conv_id string, turn_idx int, ts timestamp, session_id l
 _STATE_SCHEMA = "last_ts_us long, session_id long"
 
 
+def _whole_group(pdfs):
+    """Materialize a stateful group's Arrow chunk iterator into ONE
+    frame (yielded as a 1-element iterable). applyInPandasWithState
+    delivers a group whose rows exceed arrow.maxRecordsPerBatch as
+    SEVERAL chunks in arbitrary order; sorting each chunk
+    independently would process a spanning conversation out of
+    (ts, turn_idx) order and corrupt the running state. Memory is
+    bounded by one conversation per trigger — the same envelope as
+    any per-conv aggregate (whale convs are capped upstream)."""
+    import pandas as pd
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    yield chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+
+
 def streaming_session_labels(
     stream: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
 ) -> DataFrame:
@@ -88,7 +105,7 @@ def streaming_session_labels(
             last_ts_us, sid = state.get
         else:
             last_ts_us, sid = None, 0
-        for pdf in pdfs:
+        for pdf in _whole_group(pdfs):
             pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
             # worker-side pandas delivers datetime64[ns]; normalize to
             # microseconds before integer arithmetic
@@ -153,7 +170,7 @@ def streaming_ewma(
             started = True
         else:
             wa, ow, started = 0.0, 0.0, False
-        for pdf in pdfs:
+        for pdf in _whole_group(pdfs):
             pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
             xs = pdf["_x"].astype("float64").to_numpy()
             out = []
@@ -220,7 +237,7 @@ def streaming_rolling_features(stream: DataFrame) -> DataFrame:
             n, n_user, n_asst, len_sum = state.get
         else:
             n, n_user, n_asst, len_sum = 0, 0, 0, 0.0
-        for pdf in pdfs:
+        for pdf in _whole_group(pdfs):
             pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
             roles = pdf["role"].to_numpy()
             lens = pdf["_len"].astype("float64").to_numpy()

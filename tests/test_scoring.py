@@ -69,3 +69,21 @@ def test_model_loads_once_per_worker(spark):
     # 12 tasks on <= n_cores workers must not produce 12 loads
     assert len(loads) == len(pids)
     assert 1 <= len(loads) <= n_cores < 12
+
+
+def test_distinct_lambdas_do_not_share_cache(spark):
+    """Regression: the default cache key is content-addressed
+    (cloudpickle sha256), so two different lambdas in one application
+    must score with their OWN models — module.qualname keying made
+    them collide ('<lambda>') and silently reuse the first model."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(8), "text": ["a b c"] * 8})
+    ).repartition(2)
+
+    def loader_const(v):
+        return lambda: (lambda texts: pd.Series([v] * len(texts), dtype="float64"))
+
+    a = score_with_model(docs, loader_const(1.0)).toPandas()
+    b = score_with_model(docs, loader_const(2.0)).toPandas()
+    assert set(a["model_score"]) == {1.0}
+    assert set(b["model_score"]) == {2.0}

@@ -339,3 +339,17 @@ def test_ivf_knn_join_matches_per_query_ivf_topk(spark, emb_df, emb_pdf):
         assert sub["vec_id"].tolist() == single["vec_id"].tolist()
         assert np.allclose(sub["cos_sim"].to_numpy(), single["cos_sim"].to_numpy(),
                            rtol=1e-9, atol=1e-12)
+
+
+def test_knn_join_empty_query_set_returns_empty(spark, emb_df):
+    """An empty query set yields an empty DataFrame with the result
+    schema (it used to raise during plan construction)."""
+    from fte.operators.similarity import ivf_knn_join
+
+    queries = spark.createDataFrame([], "query_id long, embedding array<float>")
+    out = knn_join(emb_df, queries, k=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "vec_id", "cos_sim", "rank"}
+    assigned, C = ivf_build(emb_df, n_cells=10)
+    out2 = ivf_knn_join(assigned, C, queries, k=5)
+    assert out2.count() == 0

@@ -203,3 +203,47 @@ def test_streaming_rolling_features_match_batch(spark, transcripts_pdf, tmp_path
 
     assert np.allclose(got["len_mean"], batch["len_mean"], rtol=1e-12)
     assert np.allclose(got["user_frac"], got["n_user"] / got["n_so_far"], rtol=1e-12)
+
+
+def test_streaming_rolling_features_multichunk_group(spark, transcripts_pdf, tmp_path):
+    """Regression: a group whose rows arrive as SEVERAL Arrow chunks
+    within one trigger must be re-ordered as a whole — per-chunk
+    sorting corrupted the running sums for conversations larger than
+    arrow.maxRecordsPerBatch."""
+    from pyspark.sql import Window, functions as F
+
+    from fte.streaming import streaming_rolling_features
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        src = str(tmp_path / "src_chunk")
+        (
+            spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA)
+            .orderBy(F.rand(5))  # scramble row order inside files
+            .coalesce(1)
+            .write.parquet(src)
+        )
+        stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(src)
+        result = streaming_rolling_features(stream)
+        run_available_now(result, str(tmp_path / "ckpt_chunk"), "roll_chunk",
+                          mode="update")
+        got = (
+            spark.table("roll_chunk").toPandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+        w = (
+            Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        batch = (
+            spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA)
+            .select("conv_id", "turn_idx", F.count("*").over(w).alias("n_so_far"))
+            .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+        assert got["n_so_far"].tolist() == batch["n_so_far"].tolist()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

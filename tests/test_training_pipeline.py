@@ -390,3 +390,28 @@ def test_sft_loss_spans_substring_exact(spark):
         orig = [t for t in rows if t[0] == r["conv_id"] and t[1] == r["turn_idx"]][0]
         assert piece == f"{orig[2]}: {orig[3]}"
     assert spans.set_index(["conv_id", "turn_idx"]).loc[("c2", 0), "span_start"] == 0
+
+
+def test_bm25_batch_duplicate_and_empty_queries(spark):
+    """Regression: a duplicated term in a query tuple must not double
+    that term's document frequency (idf corruption); termless queries
+    drop out; an empty dict returns an empty frame with the right
+    schema."""
+    from fte.operators.text import bm25_topk_batch
+
+    texts = [
+        "spark join window spark",
+        "spark filter scan",
+        "join join join window",
+    ]
+    docs = _docs(spark, texts)
+    dup = bm25_topk_batch(docs, {0: ("spark", "spark", "join")}, k=3).toPandas()
+    ref = bm25_topk_batch(docs, {0: ("spark", "join")}, k=3).toPandas()
+    assert dup["doc_id"].tolist() == ref["doc_id"].tolist()
+    for g, s in zip(dup["bm25"], ref["bm25"]):
+        assert g == pytest.approx(s, rel=1e-12)
+    empty = bm25_topk_batch(docs, {}, k=3)
+    assert empty.count() == 0
+    assert "bm25" in empty.columns and "rank" in empty.columns
+    only_termless = bm25_topk_batch(docs, {5: ()}, k=3)
+    assert only_termless.count() == 0
