@@ -59,11 +59,16 @@ EXTRA = [
     "decontaminate",
     "unigram_xent",
     "source_mix",
-    # round-3 additions
+    # round-3 additions (canonical_per_cluster is deliberately absent:
+    # its exact n-gram-Jaccard ground truth is all-pairs quadratic —
+    # a 10k-doc corpus at sf0.1 would dominate the bench; the operator
+    # itself is cluster-count-bound and oracle-gated at sf0.01)
     "segment_dedup",
     "bm25_batch",
     "token_fertility",
     "ivf_knn_batch",
+    "sft_spans",
+    "shuffle_order",
 ]
 
 # synthetic transcript scale per sf dir (turns ≈ n_convs × ~15)
