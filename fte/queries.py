@@ -534,4 +534,30 @@ def catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str |
     base.update(catalog_ml())
     base.update(catalog_extra())
     base.update(catalog_pipeline())
-    return base
+    return _driver_window_order(base)
+
+
+# The driver's CORRECTNESS snapshot records only the FIRST 50 catalog
+# entries (dict insertion order).  Rounds 1-3 left 29 queries outside
+# that window (driver-green locally via tools/check_oracle.py, but never
+# in a driver file).  Rotate them to the front so round 4 gives every
+# catalog query a hard driver-checked row in SOME CORRECTNESS_r*.json;
+# the already-driver-green flagship rows fill positions 29-49.
+_DRIVER_WINDOW_FIRST = (
+    # 21 never driver-checked (VERDICT r3 "Next round" #1)
+    "ewma", "approx_distinct", "quantile_sketch", "pandas_scalar",
+    "pandas_udaf_median", "training_pairs", "sft_render", "sft_spans",
+    "repetition_stats", "pii_redact", "doc_chunks", "bm25_topk",
+    "bm25_batch", "decontaminate", "source_mix", "unigram_xent",
+    "emb_pool", "xent_percentile_gate", "key_skew", "variant_extract",
+    "model_score",
+    # 8 rows driver-green in r02 but displaced from the r3 window
+    "value_histogram", "set_ops", "range_join", "pivot_user_types",
+    "cube_day_type", "grouping_sets", "rank_functions", "tumbling_hour",
+)
+
+
+def _driver_window_order(base: dict) -> dict:
+    ordered = {name: base[name] for name in _DRIVER_WINDOW_FIRST}
+    ordered.update({n: v for n, v in base.items() if n not in ordered})
+    return ordered
