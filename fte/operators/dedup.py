@@ -146,6 +146,29 @@ def with_minhash(
     return df.join(sig, id_col, "left")
 
 
+def candidate_shingle_sets(
+    df: DataFrame,
+    cand_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, _sh: array<long>) shingle sets for the docs in ``cand_ids``
+    only.
+
+    The semi-join runs on the RAW docs, before shingling: non-candidate
+    text is never exploded, so the collect_list aggregate (the one
+    place shingle arrays ever materialize) sees exactly the candidate
+    docs — at realistic dup rates a small fraction of the corpus, vs
+    the corpus-sized payload a verify-inside-the-signature-aggregate
+    design would shuffle and checkpoint. Exposed as a public helper so
+    the candidates-only property is directly testable.
+    """
+    cand_docs = df.join(cand_ids.select(id_col), id_col, "left_semi")
+    rows = shingle_rows(cand_docs, id_col, text_col, shingle_k, distinct=True)
+    return rows.groupBy(id_col).agg(F.collect_list("shingle").alias("_sh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -181,23 +204,23 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     assert r * bands == num_hashes, "bands must divide num_hashes"
 
-    # ONE aggregate builds both the minhash signature and (if
-    # verifying) the shingle set. The table is consumed 3x downstream
-    # (banding + both sides of the candidate join); sharing a single
-    # aggregate subtree lets Spark's ReuseExchange serve all consumers
-    # from one shuffle instead of recomputing explode+window+agg each.
+    # The signature-ONLY aggregate is the shared subtree: it is consumed
+    # 3x downstream (banding + both sides of the candidate join), and
+    # checkpointing it lets Spark serve all consumers from one shuffle.
+    # Shingle SETS deliberately stay out of this aggregate — collecting
+    # them here would make the groupBy shuffle and the checkpoint carry
+    # ~corpus-sized arrays at 100 TB; instead the verify step below
+    # re-derives shingles for CANDIDATE docs only (a tiny fraction at
+    # realistic dup rates), which is the promise in the module header.
     rows = shingle_rows(df, id_col, text_col, shingle_k, distinct=True)
     aggs = [
         F.min(F.xxhash64(F.col("shingle").bitwiseXOR(F.lit(c)))).alias(f"_h{i}")
         for i, c in enumerate(_hash_consts(num_hashes))
     ]
-    if verify:
-        aggs.append(F.collect_list("shingle").alias("_sh"))
     per_doc = rows.groupBy(id_col).agg(*aggs)
     per_doc = per_doc.select(
         id_col,
         F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"),
-        *(["_sh"] if verify else []),
     ).localCheckpoint(eager=False)
     sig = per_doc.select(id_col, "_sig")
 
@@ -244,18 +267,26 @@ def minhash_lsh_pairs(
     est = (
         F.size(F.array_intersect("_sig_a", "_sig_b")) / F.lit(num_hashes)
     ).cast("double").alias("est_jaccard")
+    sa = per_doc.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"))
+    sb = per_doc.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"))
     if not verify:
-        sa = per_doc.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"))
-        sb = per_doc.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"))
         return cand.join(sa, "id_a").join(sb, "id_b").select("id_a", "id_b", est)
 
-    pa = per_doc.select(
-        F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"), F.col("_sh").alias("_sh_a")
+    # Exact-Jaccard verify: shingle sets are aggregated for candidate
+    # docs ONLY. The candidate id set left-semi-filters the raw docs
+    # BEFORE shingling, so non-candidate text is never exploded, never
+    # shuffled, and never aggregated; cand is checkpointed first so the
+    # band self-join isn't re-run for the semi-join side.
+    cand = cand.localCheckpoint(eager=False)
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    pb = per_doc.select(
-        F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"), F.col("_sh").alias("_sh_b")
-    )
-    pairs = cand.join(pa, "id_a").join(pb, "id_b")
+    cand_sets = candidate_shingle_sets(df, cand_ids, id_col, text_col, shingle_k)
+    pa = cand_sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    pb = cand_sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    pairs = cand.join(sa, "id_a").join(sb, "id_b").join(pa, "id_a").join(pb, "id_b")
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
     jac = (inter / F.greatest(union, F.lit(1))).cast("double").alias("jaccard")

@@ -38,6 +38,26 @@ from pyspark.sql import DataFrame
 # would hand each task a private copy and defeat the cache.
 _MODEL_CACHE: dict = {}
 
+# Bounded: long-lived reused workers that serve MANY different-model
+# jobs would otherwise pin every 100MB-class model forever. LRU over
+# insertion/touch order (plain dict ordering — workers are
+# single-threaded per task, so no locking needed); 4 keeps any
+# realistic concurrent pipeline stage hot while bounding worker RSS.
+_MODEL_CACHE_MAX = 4
+
+
+def _cache_get_or_load(key, loader):
+    """Fetch ``key`` from the worker-side cache, loading (and evicting
+    least-recently-used entries beyond ``_MODEL_CACHE_MAX``) on miss.
+    Must be reached via the module singleton (see _MODEL_CACHE note)."""
+    model = _MODEL_CACHE.pop(key, None)
+    if model is None:
+        model = loader()
+    _MODEL_CACHE[key] = model  # (re)insert at most-recent position
+    while len(_MODEL_CACHE) > _MODEL_CACHE_MAX:
+        _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
+    return model
+
 
 def fake_quality_model():
     """Deterministic stand-in classifier: score = fraction of
@@ -67,7 +87,8 @@ def score_with_model(
     """(id, model_score) for every document. ``model_loader`` is
     called lazily AT MOST ONCE per Python worker process — its result
     is cached in ``fte.operators.scoring._MODEL_CACHE`` (a worker-side
-    module global, shared across tasks) under ``cache_key`` (default:
+    module global, shared across tasks, LRU-bounded to
+    ``_MODEL_CACHE_MAX`` entries) under ``cache_key`` (default:
     the sha256 of the loader's cloudpickle bytes, so distinct lambdas
     never collide and identical loaders share) — then applied per
     Arrow batch. Swap
@@ -99,11 +120,8 @@ def score_with_model(
         # per task (see _MODEL_CACHE comment above)
         import fte.operators.scoring as _scoring_mod
 
-        cache = _scoring_mod._MODEL_CACHE
         for pdf in batches:
-            model = cache.get(key)
-            if model is None:
-                model = cache.setdefault(key, model_loader())
+            model = _scoring_mod._cache_get_or_load(key, model_loader)
             for start in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[start:start + batch_size]
                 yield pd.DataFrame(

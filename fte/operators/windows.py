@@ -176,6 +176,7 @@ def with_ewma(
     conv_col: str = "conv_id",
     order_cols: Sequence[str] = DEFAULT_ORDER,
     out_col: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Exponentially weighted moving average of a numeric column per
     conversation (pandas ewm(adjust=True) semantics — the form
@@ -191,6 +192,17 @@ def with_ewma(
     ``n_buckets`` big batches while pandas' C groupby-ewm does the
     per-conv recursions inside. Leakage-safe: ewm only looks backward.
 
+    ``n_buckets`` bounds BOTH parallelism and per-worker memory: each
+    bucket is ~N/n_buckets rows concatenated into one pandas frame, so
+    n_buckets must be large enough that a bucket fits a Python worker
+    (rows/bucket × row width « worker heap) and at least the cluster's
+    core count or the tail tasks idle. Default scales with the session
+    (max(shuffle.partitions, defaultParallelism×4)) instead of a fixed
+    constant — a hard-coded 128 caps a 1000-executor cluster at 128
+    tasks of ~1/128th of the corpus each, an OOM at 10^12 turns.
+    Results are bucket-count-independent (each conversation's recursion
+    is self-contained; regression-tested across n_buckets).
+
     Semantics match pandas ewm(adjust=True) exactly (and the engine's
     DuckDB oracle replicates its float-op order bit-for-bit — see
     SQL_EWMA in fte/queries_extra.py).
@@ -198,7 +210,10 @@ def with_ewma(
     import pandas as pd
 
     out_col = out_col or f"ewma_{value_col}"
-    n_buckets = 128
+    if n_buckets is None:
+        spark = df.sparkSession
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        n_buckets = max(shuffle_parts, spark.sparkContext.defaultParallelism * 4)
     bucketed = df.withColumn(
         "_ewma_bkt", F.pmod(F.xxhash64(F.col(conv_col).cast("string")), F.lit(n_buckets))
     )

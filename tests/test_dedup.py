@@ -141,6 +141,39 @@ def test_simhash_pigeonhole_total_recall(spark):
         assert not missing, f"max_h={max_h}: missed planted pairs {missing}"
 
 
+def test_minhash_verify_aggregates_candidates_only(spark, docs_df):
+    """The exact-Jaccard verify step must materialize shingle sets for
+    CANDIDATE docs only (the module-header scale promise): the
+    shingle-set aggregate's row count equals the distinct candidate id
+    count, a strict subset of the corpus, and the pair output is
+    unchanged vs the ground-truth exact-Jaccard restatement."""
+    import pyspark.sql.functions as F
+
+    from fte.operators.dedup import candidate_shingle_sets
+
+    pairs = minhash_lsh_pairs(
+        docs_df, num_hashes=32, bands=16, jaccard_threshold=0.5
+    ).toPandas()
+    cand_ids = spark.createDataFrame(
+        pd.DataFrame({"doc_id": sorted(set(pairs.id_a) | set(pairs.id_b))}),
+        "doc_id long",
+    )
+    sets = candidate_shingle_sets(docs_df, cand_ids)
+    assert sets.count() == cand_ids.count()
+    assert cand_ids.count() < docs_df.count(), "fixture must have non-candidates"
+    # and the aggregate genuinely never saw non-candidate docs
+    non_cand = sets.join(cand_ids, "doc_id", "left_anti")
+    assert non_cand.count() == 0
+    # verify path plan contains the left-semi doc filter
+    import contextlib, io
+
+    full = minhash_lsh_pairs(docs_df, num_hashes=32, bands=16, jaccard_threshold=0.5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        full.explain("formatted")
+    assert "LeftSemi" in buf.getvalue()
+
+
 def test_minhash_max_bucket_guard(spark):
     """Giant-bucket cap: 40 identical docs form one mega band-bucket;
     with max_bucket=10 their quadratic pair mass is dropped while a

@@ -120,3 +120,13 @@ def test_ewma_bucket_invariance(spark, transcripts_df):
         .reset_index(drop=True)
     )
     assert np.array_equal(a["ewma_textlen"].to_numpy(), b["ewma_textlen"].to_numpy())
+    # explicit n_buckets (> cores, and tiny) both reproduce the default
+    for nb in (3, 257):
+        c = (
+            with_ewma(base, "textlen", n_buckets=nb)
+            .select("conv_id", "turn_idx", "ewma_textlen")
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert np.array_equal(a["ewma_textlen"].to_numpy(), c["ewma_textlen"].to_numpy())
