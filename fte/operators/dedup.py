@@ -595,7 +595,7 @@ def decontaminate(
 
 def segment_rows(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    seg_words: int = 16, hashed: bool = True,
+    seg_words: int = 16, hashed: bool = True, key_bits: int = 64,
 ) -> DataFrame:
     """Non-overlapping ``seg_words``-word segments per doc — the
     unit for within-corpus segment dedup (the C4/CCNet line- and
@@ -607,7 +607,14 @@ def segment_rows(
     Output: (id_col, seg_idx, n_seg_words, segment) where ``segment``
     is the xxhash64 of the normalized segment text (``hashed=True``,
     8-byte shuffle keys for the ownership aggregate) or the raw
-    normalized string (SQL-oracle parity).
+    normalized string (SQL-oracle parity). ``key_bits=128`` widens the
+    hashed key to struct(xxhash64(seg), xxhash64(reverse(seg))) — two
+    independent 64-bit draws — for production-scale runs: with ~10^10+
+    distinct segments (the 100 TB regime) 64-bit birthday collisions
+    become probable, and a collision here silently DELETES a unique
+    segment corpus-wide; at 128 bits the collision odds are negligible
+    (~10^-18 at 10^10 keys). 64 stays the default for the small/bench
+    path (half the shuffle-key bytes).
     """
     c = F.col(text_col)
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
@@ -628,19 +635,29 @@ def segment_rows(
     seg_text = F.array_join(
         F.slice("_ws", F.col("_s") * seg_words + 1, seg_words), " "
     )
+    if not hashed:
+        seg_key = seg_text
+    elif key_bits == 128:
+        seg_key = F.struct(
+            F.xxhash64(seg_text).alias("h1"),
+            F.xxhash64(F.reverse(seg_text)).alias("h2"),
+        )
+    else:
+        assert key_bits == 64, "key_bits must be 64 or 128"
+        seg_key = F.xxhash64(seg_text)
     return base.select(
         id_col,
         F.col("seg_idx").cast("long").alias("seg_idx"),
         F.least(F.lit(seg_words), F.col("_n") - F.col("_s") * seg_words)
         .cast("long")
         .alias("n_seg_words"),
-        (F.xxhash64(seg_text) if hashed else seg_text).alias("segment"),
+        seg_key.alias("segment"),
     )
 
 
 def segment_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    seg_words: int = 16, hashed: bool = True,
+    seg_words: int = 16, hashed: bool = True, key_bits: int = 64,
 ) -> DataFrame:
     """Corpus-wide keep-first segment dedup: every repeated
     ``seg_words``-word segment keeps only its first occurrence (min
@@ -660,8 +677,16 @@ def segment_dedup(
     Output: (id_col, n_segs, n_kept, text_dedup) — one row per doc
     that kept >= 1 segment (a doc that is entirely repeats of earlier
     content disappears, matching the dedup intent).
+
+    ``key_bits``: with ``hashed=True`` (the production default) the
+    ownership key is an xxhash64 of the segment, and a 64-bit
+    collision silently deletes a unique segment corpus-wide — at 100
+    TB (~10^10+ distinct segments) birthday collisions are probable.
+    Pass ``key_bits=128`` for production-scale runs (see
+    segment_rows); output is identical absent collisions.
     """
-    segs = segment_rows(df, id_col, text_col, seg_words, hashed=hashed)
+    segs = segment_rows(df, id_col, text_col, seg_words, hashed=hashed,
+                        key_bits=key_bits)
     keyed = segs.select(id_col, "seg_idx", "segment")
     owners = keyed.groupBy("segment").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("seg_idx").alias("x"))).alias("_o")

@@ -79,6 +79,12 @@ def deterministic_shuffle(
     driver traffic is one count per partition (the same two-pass
     offset scheme a sorted writer uses). Positions are independent of
     where range boundaries land because (u, key) is a total order.
+
+    PRECONDITION: ``key_col`` values must be UNIQUE (the engine's
+    doc_id contract). With duplicate keys (u, key) is no longer a
+    total order, so the relative positions of duplicate-key rows are
+    arbitrary and may differ across runs/partitionings — pass a
+    uniquified key (e.g. concat(doc_id, chunk_idx)) if rows share one.
     """
     from pyspark.sql import Window
 

@@ -18,7 +18,9 @@ Stages (each count printed in CURATION_RESULT):
   4. PII redaction       (redact_pii — transform, not a filter)
   5. exact dedup         (fingerprint left-semi, min doc_id survives)
   6. near-dup drop       (MinHash LSH banded candidates + exact-Jaccard
-                          verify; id_b of each verified pair dropped)
+                          verify; id_b of each verified pair dropped, or
+                          with --canonical the best-quality member of
+                          each dup component survives instead)
   6b. segment dedup      (--seg-words N, off by default: corpus-wide
                           keep-first removal of repeated N-word blocks
                           — the C4 repeated-paragraph rule; surviving
@@ -63,6 +65,7 @@ def curate(
     id_col: str = "doc_id",
     text_col: str = "text",
     seg_words: int = 0,
+    canonical: bool = False,
 ) -> dict:
     from fte.operators.dedup import exact_dedup, minhash_lsh_pairs
     from fte.operators.packing import pack_documents
@@ -101,10 +104,23 @@ def curate(
     d = exact_dedup(d, id_c, txt)
     funnel["n_exact_dedup"] = d.count()
 
-    # 6: near-dup drop (banded LSH candidates, exact-Jaccard verified)
+    # 6: near-dup resolution (banded LSH candidates, exact-Jaccard
+    # verified). Default keep rule: drop id_b of each verified pair
+    # (min-id survives). --canonical instead keeps the BEST-QUALITY
+    # member of each duplicate component (connected components over
+    # the verified pairs; ties -> min id) — the production rule when
+    # duplicates differ in quality (keep the clean copy, not the
+    # lowest-numbered one).
     pairs = minhash_lsh_pairs(d, id_c, txt)
-    losers = pairs.select(F.col("id_b").alias(id_c)).distinct()
-    d = d.join(losers, id_c, "left_anti")
+    if canonical:
+        from fte.operators.dedup import canonical_per_cluster
+
+        canon = canonical_per_cluster(d, pairs, id_c, "quality_score")
+        keepers = canon.filter("is_canonical").select(id_c)
+        d = d.join(keepers, id_c, "left_semi")
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_c)).distinct()
+        d = d.join(losers, id_c, "left_anti")
     funnel["n_neardup"] = d.count()
 
     # 6b (opt-in): cross-document repeated-block removal — every
@@ -114,7 +130,10 @@ def curate(
     if seg_words:
         from fte.operators.dedup import segment_dedup
 
-        sd = segment_dedup(d, id_c, txt, seg_words=seg_words)
+        # key_bits=128: the production path must not lose unique
+        # segments to 64-bit birthday collisions (probable at 10^10+
+        # distinct segments)
+        sd = segment_dedup(d, id_c, txt, seg_words=seg_words, key_bits=128)
         d = d.drop(txt).join(
             sd.select(id_c, F.col("text_dedup").alias(txt)), id_c
         )
@@ -171,6 +190,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--seg-words", type=int, default=0,
                     help="enable cross-doc repeated-block removal at "
                     "this block width (0 = off)")
+    ap.add_argument("--canonical", action="store_true",
+                    help="keep the best-quality member of each near-dup "
+                    "cluster instead of the min-id member")
     args = ap.parse_args(argv)
 
     builder = SparkSession.builder.appName("fte-curation")
@@ -184,6 +206,7 @@ def main(argv: list[str] | None = None) -> int:
         chunk_words=args.chunk_words, stride=args.stride,
         capacity=args.capacity, id_col=args.id_col, text_col=args.text_col,
         seg_words=args.seg_words,
+        canonical=args.canonical,
     )
     print("CURATION_RESULT " + json.dumps(funnel))
     return 0

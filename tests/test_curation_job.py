@@ -97,3 +97,42 @@ def test_curation_with_segment_dedup_stage(spark, tmp_path):
         assert not text.startswith("the quick brown fox"), (did, text[:60])
     if 1 in by_id:
         assert "another fine day" in by_id[1]
+
+
+def test_curation_canonical_keeps_best_quality_duplicate(spark, tmp_path):
+    """--canonical reverses the min-id keep rule when the later
+    duplicate is the better copy: doc 10 is a near-dup of doc 11 but
+    ~40% SHOUTED (upper_ratio > 0.3 -> quality 0.75 vs 1.0; case
+    doesn't change shingles, so the pair is still found). Default
+    drops id_b=11 (keeping the shouty copy); --canonical keeps the
+    clean one."""
+    from jobs.run_curation import curate
+
+    shared = CLEAN * 3
+    half = len(shared) // 2
+    ugly = shared[:half].upper() + shared[half:] + "unique alpha tail words here"
+    clean = shared + "unique alpha tail words there"
+    rows = [
+        (0, CLEAN + "it is that you for the and of to in another fine day"),
+        (10, ugly),
+        (11, clean),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    src = str(tmp_path / "docs_in_canon")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    out_default = str(tmp_path / "cur_out_default")
+    funnel = curate(spark, src, out_default, chunk_words=16, stride=12, capacity=64)
+    ids = set(spark.read.parquet(f"{out_default}/documents").toPandas()["doc_id"])
+    assert funnel["n_neardup"] == 2
+    assert 10 in ids and 11 not in ids, "default min-id rule keeps the shouty copy"
+
+    out_canon = str(tmp_path / "cur_out_canon")
+    funnel = curate(
+        spark, src, out_canon, chunk_words=16, stride=12, capacity=64,
+        canonical=True,
+    )
+    ids = set(spark.read.parquet(f"{out_canon}/documents").toPandas()["doc_id"])
+    assert funnel["n_neardup"] == 2
+    assert 11 in ids and 10 not in ids, "--canonical keeps the best-quality copy"
+    assert 0 in ids, "singleton (non-dup) docs survive canonical selection"

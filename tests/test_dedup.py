@@ -377,3 +377,62 @@ def test_segment_dedup_each_distinct_segment_kept_exactly_once(spark):
         .select("segment").distinct().count()
     )
     assert int(out["n_kept"].sum()) == n_distinct
+
+
+def test_segment_dedup_128bit_key_matches_64(spark):
+    """key_bits=128 (the production anti-collision key) must produce
+    byte-identical output to the 64-bit default on a collision-free
+    corpus, and its segment key is a 2x64-bit struct."""
+    from fte.operators.dedup import segment_dedup, segment_rows
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(10)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 25))) for _ in range(50)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        "doc_id long, text string",
+    )
+    a = segment_dedup(df, seg_words=4, key_bits=64).toPandas().sort_values("doc_id")
+    b = segment_dedup(df, seg_words=4, key_bits=128).toPandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    seg_type = dict(segment_rows(df, key_bits=128).dtypes)["segment"]
+    assert seg_type == "struct<h1:bigint,h2:bigint>"
+
+
+def test_segment_dedup_property_keep_first_occurrence(spark):
+    """Property test vs a direct pandas restatement of the rule: for
+    random tiny corpora, every doc's surviving text equals the
+    concatenation of its segments whose (doc_id, seg_idx) is the
+    corpus-wide FIRST occurrence of that segment's content."""
+    from fte.operators.dedup import segment_dedup
+
+    for seed in (0, 1, 2, 3):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(rng.integers(4, 14))]
+        seg_w = int(rng.integers(2, 6))
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(1, 20)))
+            for _ in range(int(rng.integers(10, 40)))
+        ]
+        # pandas restatement: segment in doc order, keep first occurrence
+        seen: set[str] = set()
+        expect: dict[int, str] = {}
+        for did, t in enumerate(texts):
+            ws = t.split()
+            kept_segs = []
+            for s in range(0, max(len(ws), 1), seg_w):
+                seg = " ".join(ws[s:s + seg_w])
+                if seg not in seen:
+                    seen.add(seg)
+                    kept_segs.append(seg)
+            if kept_segs:
+                expect[did] = " ".join(kept_segs)
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+            "doc_id long, text string",
+        )
+        got = (
+            segment_dedup(df, seg_words=seg_w, hashed=True)
+            .toPandas().set_index("doc_id")["text_dedup"].to_dict()
+        )
+        assert got == expect, f"seed={seed} seg_w={seg_w}"
