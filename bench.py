@@ -69,6 +69,9 @@ EXTRA = [
     "ivf_knn_batch",
     "sft_spans",
     "shuffle_order",
+    # round-4 additions
+    "target_encode",
+    "quantile_bin",
 ]
 
 # synthetic transcript scale per sf dir (turns ≈ n_convs × ~15)

@@ -1,0 +1,119 @@
+"""Leakage-safe categorical encoding + quantile binning — the classic
+feature-engineering transforms FeatureHub users hand-wrote in pandas
+feature functions (running group statistics, discretization), built as
+pure Catalyst windows/aggregates.
+
+Reference parity note: FeatureHub itself ships no encoders — users
+compute them inside feature functions (src/featurehub/evaluation/
+client.py::EvaluatorClient re-executes arbitrary pandas `[U]`). These
+operators are the engine-level, point-in-time-correct restatement of
+the two most common such functions.
+
+Scale shapes:
+- target/count encoding: ONE window over (category) ordered by event
+  time with an UNBOUNDED PRECEDING → 1 PRECEDING frame — strictly
+  prior rows only, so training rows never see their own target
+  (the leakage every naive groupby-mean target encoder commits). One
+  shuffle on the category key; skewed categories are bounded by the
+  running-frame computation being O(1) per row (no per-row rescans).
+- quantile binning: boundaries from ONE aggregate (approx_percentile
+  at scale — t-digest, mergeable, bounded memory; exact percentile
+  for small/oracle runs), broadcast back as a 1-row literal join;
+  bin assignment is a pure projection.
+(Per-stratum/stratified sampling already exists as
+fte.operators.sampling.sample_sources — not duplicated here.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    order_cols: Sequence[str],
+    prefix: str = "te",
+    smoothing: float = 0.0,
+    prior: float = 0.0,
+) -> DataFrame:
+    """Point-in-time target encoding: for every row, the COUNT and
+    MEAN of ``target_col`` over strictly PRIOR rows (frame ends at
+    1 PRECEDING in ``order_cols`` order) of the same ``cat_col`` —
+    plus the smoothed encoding (count*mean + smoothing*prior) /
+    (count + smoothing) when ``smoothing`` > 0.
+
+    The first row of each category has count 0 and NULL mean (no
+    prior evidence — consumers either use the smoothed column, which
+    falls back to ``prior``, or impute). ``order_cols`` must be a
+    total order within each category (e.g. (ts, event_id)) or prior
+    sets are ambiguous.
+
+    Sums accumulate in DECIMAL(27,6) and divide only at the end —
+    running double sums differ across engines in the last ulp, and
+    the oracle gate hashes values (see fte/queries.py header).
+    """
+    w = (
+        Window.partitionBy(cat_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.count(F.col(target_col)).over(w)
+    s = F.sum(F.col(target_col).cast("decimal(27,6)")).over(w)
+    # decimal sum -> double FIRST, then divide: both engines then
+    # divide bit-identical operands (the repo-wide oracle pattern)
+    mean = s.cast("double") / n
+    out = df.withColumn(f"{prefix}_count", n.cast("long")).withColumn(
+        f"{prefix}_mean", mean
+    )
+    if smoothing > 0:
+        sm = (s.cast("double") + F.lit(float(smoothing * prior))) / (
+            n + F.lit(float(smoothing))
+        )
+        out = out.withColumn(f"{prefix}_smooth", F.coalesce(sm, F.lit(float(prior))))
+    return out
+
+
+def quantile_bin(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 4,
+    out_col: str = "bin",
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Equal-frequency discretization: assign each row the index
+    (0..n_bins-1) of its ``value_col`` quantile bin. Boundaries are
+    the 1/n .. (n-1)/n quantiles; bin = number of boundaries <= value
+    (right-closed, so the max value lands in the last bin).
+
+    ``exact=False`` (the scale default) uses approx_percentile — a
+    mergeable t-digest aggregate with bounded memory at any corpus
+    size; ``exact=True`` uses the exact interpolating percentile
+    (sort-based — small inputs / oracle parity only). Either way the
+    boundary row is a 1-row aggregate broadcast onto the projection:
+    no shuffle of the data itself.
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    if exact:
+        agg = F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qs]))
+    else:
+        agg = F.percentile_approx(
+            F.col(value_col), F.array(*[F.lit(q) for q in qs]), F.lit(accuracy)
+        )
+    bounds = df.select(agg.alias("_qb"))
+    # n_bins is a plan-time constant: unroll the boundary comparisons
+    # into a flat sum of WHENs (whole-stage codegen) instead of an
+    # interpreted higher-order aggregate over the array (~100 µs/elem)
+    bin_expr = F.lit(0)
+    for i in range(n_bins - 1):
+        bin_expr = bin_expr + (
+            F.when(F.col(value_col) > F.element_at("_qb", i + 1), 1).otherwise(0)
+        )
+    binned = df.crossJoin(F.broadcast(bounds)).withColumn(
+        out_col, bin_expr.cast("long")
+    )
+    return binned.drop("_qb")

@@ -529,11 +529,13 @@ def catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str |
         "knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
     }
     from fte.queries_extra import catalog_extra
+    from fte.queries_fe import catalog_fe
     from fte.queries_pipeline import catalog_pipeline
 
     base.update(catalog_ml())
     base.update(catalog_extra())
     base.update(catalog_pipeline())
+    base.update(catalog_fe())
     return _driver_window_order(base)
 
 

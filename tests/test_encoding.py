@@ -1,0 +1,101 @@
+"""Encoding operators: leakage-safe target encoding vs a pandas
+expanding-mean restatement; quantile binning vs direct boundary
+comparison; approx/exact agreement."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _events_pdf(n=400, seed=5):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(np.sort(rng.integers(0, 10**6, n)), unit="s"),
+            "cat": rng.choice(["a", "b", "c"], n),
+            "value": np.round(rng.uniform(0, 100, n), 2),
+        }
+    )
+
+
+def test_target_encode_matches_pandas_expanding(spark):
+    from fte.operators.encoding import target_encode
+
+    pdf = _events_pdf()
+    df = spark.createDataFrame(pdf)
+    got = (
+        target_encode(df, "cat", "value", ["ts", "event_id"],
+                      smoothing=10.0, prior=0.5)
+        .select("event_id", "te_count", "te_mean", "te_smooth")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = pdf.sort_values(["ts", "event_id"], kind="mergesort").copy()
+    g = ref.groupby("cat", sort=False)["value"]
+    ref["te_count"] = g.transform(lambda s: s.expanding().count().shift(1)).fillna(0)
+    ref["te_mean"] = g.transform(lambda s: s.expanding().mean().shift(1))
+    ref["te_smooth"] = (
+        (ref["te_count"] * ref["te_mean"]).fillna(0) + 10.0 * 0.5
+    ) / (ref["te_count"] + 10.0)
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert got["te_count"].tolist() == ref["te_count"].astype("int64").tolist()
+    np.testing.assert_allclose(
+        got["te_mean"].to_numpy(), ref["te_mean"].to_numpy(), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        got["te_smooth"].to_numpy(), ref["te_smooth"].to_numpy(), rtol=1e-9
+    )
+    # leakage: first row of each category must have zero prior evidence
+    firsts = (
+        pdf.sort_values(["ts", "event_id"]).groupby("cat")["event_id"].first().tolist()
+    )
+    by_id = got.set_index("event_id")
+    for fid in firsts:
+        assert by_id.loc[fid, "te_count"] == 0
+        assert np.isnan(by_id.loc[fid, "te_mean"])
+        assert by_id.loc[fid, "te_smooth"] == 0.5
+
+
+def test_quantile_bin_exact(spark):
+    from fte.operators.encoding import quantile_bin
+
+    pdf = _events_pdf(300, seed=9)
+    pdf["ivalue"] = (pdf["value"] * 10).astype("int64")
+    df = spark.createDataFrame(pdf)
+    got = (
+        quantile_bin(df, "ivalue", n_bins=4, exact=True)
+        .select("event_id", "bin")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    qs = pdf["ivalue"].quantile([0.25, 0.5, 0.75], interpolation="linear").to_numpy()
+    expect = (pdf["ivalue"].to_numpy()[:, None] > qs[None, :]).sum(axis=1)
+    assert got["bin"].tolist() == expect.tolist()
+    # equal-frequency-ish: each of the 4 bins holds ~25%
+    counts = got["bin"].value_counts()
+    assert set(counts.index) == {0, 1, 2, 3}
+    assert counts.min() >= 0.15 * len(pdf)
+
+
+def test_quantile_bin_approx_agrees(spark):
+    """approx_percentile (the scale default) lands >=95% of rows in
+    the same bin as exact boundaries at default accuracy."""
+    from fte.operators.encoding import quantile_bin
+
+    pdf = _events_pdf(1000, seed=11)
+    df = spark.createDataFrame(pdf)
+    exact = (
+        quantile_bin(df, "value", n_bins=4, exact=True)
+        .select("event_id", "bin").toPandas().set_index("event_id")["bin"]
+    )
+    approx = (
+        quantile_bin(df, "value", n_bins=4, exact=False)
+        .select("event_id", "bin").toPandas().set_index("event_id")["bin"]
+    )
+    agree = (exact.sort_index() == approx.sort_index()).mean()
+    assert agree >= 0.95
