@@ -20,6 +20,11 @@ Scale shapes:
   at scale — t-digest, mergeable, bounded memory; exact percentile
   for small/oracle runs), broadcast back as a 1-row literal join;
   bin assignment is a pure projection.
+- feature hashing (the hashing trick): VOCAB-FREE text vectorization —
+  no vocabulary aggregate, no broadcast dictionary, no OOV handling:
+  bucket = hash(token) % k with a ±1 hash sign (Weinberger et al.,
+  ICML 2009). The one text vectorizer whose cost is a single
+  (id, bucket) shuffle of 16-byte rows at ANY corpus size.
 (Per-stratum/stratified sampling already exists as
 fte.operators.sampling.sample_sources — not duplicated here.)
 """
@@ -117,3 +122,66 @@ def quantile_bin(
         out_col, bin_expr.cast("long")
     )
     return binned.drop("_qb")
+
+
+def feature_hash_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Hashing-trick text vectorization, sparse form: (id, bucket,
+    weight) with bucket = md5-bucket(token) in [0, k) and weight the
+    signed term count (±1 hash sign — keeps the estimator unbiased,
+    per the hashing-trick construction).
+
+    Deliberately md5-based like hash_uniform, NOT xxhash64: the md5
+    arithmetic is reproducible in ANSI SQL, so the whole vectorizer
+    is oracle-checkable; weights are exact BIGINTs.
+
+    Scale: normalize + split + explode are zero-shuffle scan work; the
+    only exchange is the (id, bucket) hash aggregate of 16-byte rows
+    with map-side combine. No vocabulary pass, no dictionary
+    broadcast, no OOV path — the property that makes this the
+    vectorizer of choice at 100 TB.
+    """
+    c = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(norm, " ")).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    h = F.md5(F.concat(F.col("_tok"), F.lit(f"#fh{seed}")))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % k).alias("bucket")
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select(id_col, bucket, sign.alias("_s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_s").cast("long").alias("weight"))
+    )
+
+
+def feature_hash_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    seed: int = 42,
+    out_col: str = "features",
+) -> DataFrame:
+    """Dense form of feature_hash_rows: (id, features: array<long> of
+    length k). Assembly is one per-doc hash aggregate into a map,
+    then k UNROLLED element_at lookups (k is a plan-time constant —
+    flat codegen expressions, never an interpreted per-element
+    higher-order transform at ~100 µs/element)."""
+    sparse = feature_hash_rows(df, id_col, text_col, k, seed)
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
+    ).alias("_m")
+    dense = sparse.groupBy(id_col).agg(m)
+    vec = F.array(
+        *[F.coalesce(F.element_at("_m", F.lit(i)), F.lit(0)) for i in range(k)]
+    )
+    return dense.select(id_col, vec.alias(out_col))

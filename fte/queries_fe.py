@@ -69,8 +69,36 @@ FROM documents d, b
 """
 
 
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick vectorization of documents (k=64 buckets, signed
+    term counts) in sparse (doc_id, bucket, weight) form — vocab-free:
+    no dictionary aggregate or broadcast at any corpus size. md5
+    bucket/sign so DuckDB reproduces every weight exactly."""
+    from fte.operators.encoding import feature_hash_rows
+
+    d = _t(spark, sf_dir, "documents")
+    return feature_hash_rows(d, "doc_id", "text", k=64)
+
+
+SQL_FEATURE_HASH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\S+')) AS tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(tok || '#fh42'), 1, 8)) AS BIGINT) % 64 AS BIGINT) AS bucket,
+       CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(tok || '#fh42'), 9, 1)) AS BIGINT) % 2 = 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS weight
+FROM toks
+GROUP BY 1, 2
+"""
+
+
 def catalog_fe():
     return {
         "target_encode": (q_target_encode, SQL_TARGET_ENCODE),
         "quantile_bin": (q_quantile_bin, SQL_QUANTILE_BIN),
+        "feature_hash": (q_feature_hash, SQL_FEATURE_HASH),
     }

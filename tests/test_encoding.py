@@ -99,3 +99,37 @@ def test_quantile_bin_approx_agrees(spark):
     )
     agree = (exact.sort_index() == approx.sort_index()).mean()
     assert agree >= 0.95
+
+
+def test_feature_hash_sparse_dense_consistent(spark):
+    from fte.operators.encoding import feature_hash_rows, feature_hash_vectors
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the quick brown fox the quick",
+                "  Mixed CASE   whitespace\ttabs  ",
+                "",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    sparse = feature_hash_rows(df, k=16).toPandas()
+    dense = feature_hash_vectors(df, k=16).toPandas().set_index("doc_id")["features"]
+    # dense vector reproduces every sparse entry, zeros elsewhere
+    for did in (0, 1):
+        vec = list(dense.loc[did])
+        assert len(vec) == 16
+        entries = sparse[sparse.doc_id == did].set_index("bucket")["weight"].to_dict()
+        for b in range(16):
+            assert vec[b] == entries.get(b, 0)
+    # empty doc: no tokens -> no sparse rows, no dense row
+    assert 2 not in set(sparse.doc_id) and 2 not in dense.index
+    # repeated token accumulates: |weight| over doc 0 sums to 6 tokens
+    assert sparse[sparse.doc_id == 0]["weight"].abs().sum() <= 6
+    # determinism across partitionings
+    again = feature_hash_rows(df.repartition(7), k=16).toPandas()
+    a = sparse.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    b = again.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
