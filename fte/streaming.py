@@ -286,6 +286,73 @@ def streaming_rolling_features(stream: DataFrame) -> DataFrame:
     )
 
 
+TE_SCHEMA = (
+    "conv_id string, turn_idx int, role string, te_count long, te_mean double"
+)
+_TE_STATE_SCHEMA = "n long, s double"
+
+
+def streaming_target_encode(stream: DataFrame) -> DataFrame:
+    """Streaming twin of fte.operators.encoding.target_encode over the
+    transcript stream: per ROLE (the category key), every turn is
+    emitted with the count and mean of text length over turns of the
+    same role processed strictly BEFORE it — the serve-time prior the
+    batch operator's UNBOUNDED PRECEDING..1 PRECEDING frame computes.
+    State per role carries (n, sum) across micro-batches; within a
+    trigger the group is sorted by (ts, conv_id, turn_idx) — the batch
+    operator's total order — so parity holds whenever arrival order
+    respects event time per category (append-only logs; tested via
+    sequential availableNow drains sharing one checkpoint, which is
+    exactly how an incremental serve-time encoder would run).
+
+    Accumulation is float (state is a running double sum), vs the
+    batch/oracle decimal path — parity is allclose(1e-9), not
+    bit-exact; the decimal accumulator doesn't fit a 2-field state row.
+    """
+    import pandas as pd
+
+    def step(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in _whole_group(pdfs):
+            pdf = pdf.sort_values(
+                ["ts", "conv_id", "turn_idx"], kind="mergesort"
+            )
+            xs = pdf["_len"].astype("float64").to_numpy()
+            counts, means = [], []
+            for x in xs:
+                counts.append(n)
+                means.append((s / n) if n > 0 else float("nan"))
+                n += 1
+                s += float(x)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "role": key[0],
+                    "te_count": pd.array(counts, dtype="int64"),
+                    "te_mean": pd.array(means, dtype="float64"),
+                }
+            )
+        state.update((n, s))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.select(
+            "conv_id", "turn_idx", "ts", "role",
+            F.length("text").cast("double").alias("_len"),
+        )
+        .groupBy("role")
+        .applyInPandasWithState(
+            step,
+            outputStructType=TE_SCHEMA,
+            stateStructType=_TE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     text_col: str = "text",
@@ -322,6 +389,29 @@ def run_available_now(
     q = (
         result.writeStream.format("memory")
         .queryName(table_name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_available_now_to_parquet(
+    result: DataFrame, checkpoint_dir: str, out_dir: str, mode: str = "update"
+) -> None:
+    """Resumable one-shot drain to parquet via foreachBatch — unlike
+    the memory sink, foreachBatch supports checkpoint RECOVERY, so
+    sequential invocations sharing ``checkpoint_dir`` continue from
+    the saved source offsets AND stateful-operator state. This is the
+    incremental-batch shape: run availableNow per ingest cycle, state
+    carries across cycles, output accumulates append-only."""
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        result.writeStream.foreachBatch(write_batch)
         .outputMode(mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

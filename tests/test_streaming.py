@@ -247,3 +247,60 @@ def test_streaming_rolling_features_multichunk_group(spark, transcripts_pdf, tmp
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_streaming_target_encode_matches_batch(spark, transcripts_pdf, tmp_path):
+    """Streaming per-role prior (count, mean of text length) == batch
+    target_encode, INCLUDING state crossing restarts: the corpus is
+    split at the median ts into two file batches drained by two
+    sequential availableNow runs sharing one checkpoint — the second
+    run resumes each role's (n, sum) state from the state store, the
+    way an incremental serve-time encoder runs daily."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fte.operators.encoding import target_encode
+    from fte.streaming import (
+        run_available_now_to_parquet,
+        stream_transcripts,
+        streaming_target_encode,
+    )
+
+    pdf = transcripts_pdf.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+    cut = pdf["ts"].iloc[len(pdf) // 2]
+    early, late = pdf[pdf["ts"] <= cut], pdf[pdf["ts"] > cut]
+    assert len(early) and len(late)
+
+    src = str(tmp_path / "te_src")
+    ckpt = str(tmp_path / "te_ckpt")
+    out = str(tmp_path / "te_out")
+    for part in (early, late):
+        (
+            spark.createDataFrame(part, schema=TRANSCRIPTS_SCHEMA)
+            .coalesce(1)
+            .write.mode("append").parquet(src)
+        )
+        run_available_now_to_parquet(
+            streaming_target_encode(stream_transcripts(spark, src)), ckpt, out
+        )
+    got = (
+        spark.read.parquet(out).toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pdf), "each turn emitted exactly once across runs"
+
+    batch_df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA).withColumn(
+        "textlen", F.length("text").cast("double")
+    )
+    batch = (
+        target_encode(batch_df, "role", "textlen", ["ts", "conv_id", "turn_idx"])
+        .select("conv_id", "turn_idx", "te_count", "te_mean")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert got["te_count"].tolist() == batch["te_count"].tolist()
+    a, b = got["te_mean"].to_numpy(), batch["te_mean"].to_numpy()
+    both_nan = np.isnan(a) & np.isnan(b)
+    assert np.all(both_nan | np.isclose(a, b, rtol=1e-9, atol=1e-12))
