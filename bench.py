@@ -72,6 +72,7 @@ EXTRA = [
     # round-4 additions
     "target_encode",
     "quantile_bin",
+    "feature_hash",
 ]
 
 # synthetic transcript scale per sf dir (turns ≈ n_convs × ~15)
