@@ -73,6 +73,10 @@ EXTRA = [
     "target_encode",
     "quantile_bin",
     "feature_hash",
+    "cv_folds",
+    "temporal_split",
+    "zscore",
+    "drift_psi",
 ]
 
 # synthetic transcript scale per sf dir (turns ≈ n_convs × ~15)

@@ -185,3 +185,120 @@ def feature_hash_vectors(
         *[F.coalesce(F.element_at("_m", F.lit(i)), F.lit(0)) for i in range(k)]
     )
     return dense.select(id_col, vec.alias(out_col))
+
+
+def standardize(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    suffix: str = "_z",
+) -> DataFrame:
+    """Z-score standardization: (x − mean) / sample_std per column,
+    with the moment row computed in ONE aggregate and broadcast back —
+    no shuffle of the data itself.
+
+    Moments come from decimal-accumulated Σx and Σx², NOT stddev_samp:
+    the built-in central-moment accumulators are numerically stable
+    but ORDER-dependent in the last ulp across engines, while decimal
+    sums are exact, sqrt is IEEE correctly-rounded everywhere, and the
+    final divisions see bit-identical operands — so the z-scores are
+    engine-reproducible (the repo-wide oracle discipline). x² is
+    squared in DOUBLE first (IEEE multiply — bit-identical on every
+    engine; squaring inside DECIMAL would overflow the 38-digit cap)
+    and then cast to DECIMAL(38,12) for the exact sum — lossless
+    whenever x² is exactly representable at 12 fractional digits
+    (integer and low-precision features; for arbitrary doubles the
+    cast rounds half-up vs half-even across engines — round the
+    outputs if bit-parity matters there). For ill-conditioned data
+    (|mean| ≫ std) prefer the built-in stddev_samp and give up
+    bit-parity; a constant column yields std 0 → NULL z (both
+    engines)."""
+    aggs = []
+    for c in value_cols:
+        x = F.col(c).cast("double")
+        aggs += [
+            F.count(F.col(c)).alias(f"_n_{c}"),
+            F.sum(x.cast("decimal(27,6)")).cast("double").alias(f"_s_{c}"),
+            F.sum((x * x).cast("decimal(38,12)")).cast("double").alias(f"_ss_{c}"),
+        ]
+    moments = df.select(*aggs)
+    out = df.crossJoin(F.broadcast(moments))
+    for c in value_cols:
+        n = F.col(f"_n_{c}")
+        mean = F.col(f"_s_{c}") / n
+        var = (F.col(f"_ss_{c}") - F.col(f"_s_{c}") * F.col(f"_s_{c}") / n) / (n - 1)
+        std = F.sqrt(var)
+        out = out.withColumn(
+            c + suffix,
+            F.when(std > 0, (F.col(c) - mean) / std).otherwise(F.lit(None)),
+        )
+    drop = [f"_{p}_{c}" for c in value_cols for p in ("n", "s", "ss")]
+    return out.drop(*drop)
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    exact: bool = False,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference snapshot and a
+    current snapshot of one numeric column — the standard drift
+    monitor for deployed feature pipelines. Bins are the REFERENCE
+    quantiles (so ref shares are ~uniform); per bin:
+    psi_term = (p_cur − p_ref) · ln(p_cur / p_ref), with both shares
+    floored at ``eps`` so empty current bins stay finite. Total PSI =
+    sum of terms (rule of thumb: <0.1 stable, >0.25 shifted).
+
+    Output: (bin, n_ref, n_cur, p_ref, p_cur, psi_term) — one row per
+    bin, terms rounded to 6dp (ln differs across engines in the last
+    ulp; rounding restores hash-parity, the xent-query precedent).
+
+    Scale: boundaries from one (approx_)percentile aggregate on ref;
+    each side is then scan → unrolled bin projection → n_bins-row
+    count aggregate; the join is n_bins rows. Nothing large shuffles.
+    """
+    binned_ref = quantile_bin(ref, value_col, n_bins, out_col="bin", exact=exact)
+    # current rows bin against the REFERENCE boundaries
+    qs = [i / n_bins for i in range(1, n_bins)]
+    if exact:
+        agg = F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qs]))
+    else:
+        agg = F.percentile_approx(
+            F.col(value_col), F.array(*[F.lit(q) for q in qs]), F.lit(10000)
+        )
+    bounds = ref.select(agg.alias("_qb"))
+    bin_expr = F.lit(0)
+    for i in range(n_bins - 1):
+        bin_expr = bin_expr + (
+            F.when(F.col(value_col) > F.element_at("_qb", i + 1), 1).otherwise(0)
+        )
+    binned_cur = (
+        cur.crossJoin(F.broadcast(bounds))
+        .withColumn("bin", bin_expr.cast("long"))
+        .drop("_qb")
+    )
+
+    def shares(binned: DataFrame, n_alias: str, p_alias: str) -> DataFrame:
+        counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias(n_alias))
+        total = counts.select(F.sum(n_alias).alias("_tot"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bin",
+            F.col(n_alias).cast("long").alias(n_alias),
+            (F.col(n_alias) / F.col("_tot")).alias(p_alias),
+        )
+
+    r = shares(binned_ref, "n_ref", "p_ref")
+    c = shares(binned_cur, "n_cur", "p_cur")
+    joined = r.join(c, "bin", "full").fillna(0, subset=["n_ref", "n_cur"]).fillna(
+        0.0, subset=["p_ref", "p_cur"]
+    )
+    p = F.greatest(F.col("p_cur"), F.lit(float(eps)))
+    q = F.greatest(F.col("p_ref"), F.lit(float(eps)))
+    return joined.select(
+        "bin", "n_ref", "n_cur",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )

@@ -157,3 +157,43 @@ def sample_sources(
         w = F.when(cond, F.lit(float(frac))) if w is None else w.when(cond, F.lit(float(frac)))
     w = F.lit(float(default_weight)) if w is None else w.otherwise(F.lit(float(default_weight)))
     return df.filter(u < w)
+
+
+def with_fold(
+    df: DataFrame, key_col: str, n_folds: int = 5, seed: int = 42,
+    out_col: str = "fold",
+) -> DataFrame:
+    """K-fold assignment by ENTITY-KEY hash — grouped/leakage-safe CV
+    folds: every row of a conversation/document lands in the same fold
+    (correlated rows never straddle train and validation, the grouped
+    k-fold rule), stable across runs, partitionings, and appends.
+    fold = md5-bucket(key) in [0, n_folds); one projection, no
+    shuffle, no RNG. The data-side half of CV — model fitting stays
+    out of engine scope (SURVEY §2.A A8)."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#cv{seed}")))
+    fold = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_folds
+    return df.withColumn(out_col, fold)
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff: str,
+    embargo_seconds: int = 0,
+    out_col: str = "tsplit",
+) -> DataFrame:
+    """Point-in-time train/test split with an embargo gap: rows with
+    ts < cutoff − embargo are 'train', rows with ts >= cutoff are
+    'test', rows inside the embargo window are 'embargo' (DROPPED from
+    both sides by convention — they leak label horizon into training
+    when targets look up to embargo_seconds into the future; the
+    standard purged time-series split). Pure projection."""
+    cut = F.to_timestamp(F.lit(cutoff))
+    train_end = cut - F.make_interval(secs=F.lit(float(embargo_seconds)))
+    c = F.col(ts_col)
+    return df.withColumn(
+        out_col,
+        F.when(c < train_end, F.lit("train"))
+        .when(c >= cut, F.lit("test"))
+        .otherwise(F.lit("embargo")),
+    )

@@ -101,4 +101,142 @@ def catalog_fe():
         "target_encode": (q_target_encode, SQL_TARGET_ENCODE),
         "quantile_bin": (q_quantile_bin, SQL_QUANTILE_BIN),
         "feature_hash": (q_feature_hash, SQL_FEATURE_HASH),
+        "cv_folds": (q_cv_folds, SQL_CV_FOLDS),
+        "temporal_split": (q_temporal_split, SQL_TEMPORAL_SPLIT),
+        "zscore": (q_zscore, SQL_ZSCORE),
+        "drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
     }
+
+
+def q_cv_folds(spark, sf_dir):
+    """Grouped k-fold CV assignment by entity-key hash (5 folds):
+    every row of a document/conversation lands in one fold — the
+    data-side half of cross-validation (model fitting is out of
+    engine scope, SURVEY §2.A A8). Key-stable md5 bucket, zero
+    shuffle."""
+    from fte.operators.sampling import with_fold
+
+    d = _t(spark, sf_dir, "documents")
+    return with_fold(d, "doc_id", n_folds=5).select("doc_id", "fold")
+
+
+SQL_CV_FOLDS = """
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#cv42'), 1, 8)) AS BIGINT) % 5 AS BIGINT) AS fold
+FROM documents
+"""
+
+
+def q_temporal_split(spark, sf_dir):
+    """Purged time-series split: train < cutoff − 1 day embargo,
+    test >= cutoff, embargo rows flagged for dropping — the PIT-safe
+    alternative to random splits when targets look into the future."""
+    from fte.operators.sampling import temporal_split
+
+    e = _t(spark, sf_dir, "events")
+    return temporal_split(
+        e, "ts", "2024-01-16 00:00:00", embargo_seconds=86400
+    ).select("event_id", "tsplit")
+
+
+SQL_TEMPORAL_SPLIT = """
+SELECT event_id,
+       CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'train'
+            WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 'test'
+            ELSE 'embargo' END AS tsplit
+FROM events
+"""
+
+
+def q_zscore(spark, sf_dir):
+    """Z-score standardization of documents.n_chars — broadcast 1-row
+    moments from decimal-exact Σx/Σx² (see standardize: bit-parity
+    across engines, unlike order-dependent stddev_samp)."""
+    from fte.operators.encoding import standardize
+
+    d = _t(spark, sf_dir, "documents")
+    return standardize(d, ["n_chars"]).select("doc_id", "n_chars_z")
+
+
+SQL_ZSCORE = """
+WITH m AS (
+  SELECT COUNT(n_chars) AS n,
+         CAST(SUM(CAST(n_chars AS DECIMAL(27,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS ss
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN sqrt((ss - s * s / n) / (n - 1)) > 0
+            THEN (n_chars - s / n) / sqrt((ss - s * s / n) / (n - 1))
+       END AS n_chars_z
+FROM documents, m
+"""
+
+
+def q_drift_psi(spark, sf_dir):
+    """Population Stability Index drift report between two snapshots
+    (even vs odd doc_id halves of documents, n_chars, 10 reference-
+    quantile bins) — the per-bin drift monitor a deployed feature
+    pipeline runs between training and serving snapshots."""
+    from pyspark.sql import functions as F
+
+    from fte.operators.encoding import psi_report
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    cur = d.filter(F.col("doc_id") % 2 == 1)
+    return psi_report(ref, cur, "n_chars", n_bins=10, exact=True)
+
+
+SQL_DRIFT_PSI = """
+WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+b AS (
+  SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qb
+  FROM ref
+),
+rbin AS (
+  SELECT CAST((CASE WHEN n_chars > qb[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[3] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[4] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[5] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[6] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[7] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[8] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[9] THEN 1 ELSE 0 END) AS BIGINT) AS bin
+  FROM ref, b
+),
+cbin AS (
+  SELECT CAST((CASE WHEN n_chars > qb[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[3] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[4] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[5] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[6] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[7] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[8] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > qb[9] THEN 1 ELSE 0 END) AS BIGINT) AS bin
+  FROM cur, b
+),
+r AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_ref,
+         COUNT(*) / CAST((SELECT COUNT(*) FROM rbin) AS DOUBLE) AS p_ref
+  FROM rbin GROUP BY bin
+),
+c AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_cur,
+         COUNT(*) / CAST((SELECT COUNT(*) FROM cbin) AS DOUBLE) AS p_cur
+  FROM cbin GROUP BY bin
+)
+SELECT COALESCE(r.bin, c.bin) AS bin,
+       COALESCE(n_ref, 0) AS n_ref,
+       COALESCE(n_cur, 0) AS n_cur,
+       ROUND(COALESCE(p_ref, 0.0), 6) AS p_ref,
+       ROUND(COALESCE(p_cur, 0.0), 6) AS p_cur,
+       ROUND((GREATEST(COALESCE(p_cur, 0.0), CAST(0.000001 AS DOUBLE))
+              - GREATEST(COALESCE(p_ref, 0.0), CAST(0.000001 AS DOUBLE)))
+             * ln(GREATEST(COALESCE(p_cur, 0.0), CAST(0.000001 AS DOUBLE))
+                  / GREATEST(COALESCE(p_ref, 0.0), CAST(0.000001 AS DOUBLE))), 6) AS psi_term
+FROM r FULL JOIN c ON r.bin = c.bin
+"""

@@ -133,3 +133,83 @@ def test_feature_hash_sparse_dense_consistent(spark):
     a = sparse.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
     b = again.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_with_fold_grouped_and_stable(spark):
+    from fte.operators.sampling import with_fold
+
+    pdf = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
+    df = spark.createDataFrame(pdf)
+    a = with_fold(df, "doc_id", n_folds=5).toPandas().sort_values("doc_id")
+    b = with_fold(df.repartition(9), "doc_id", n_folds=5).toPandas().sort_values("doc_id")
+    assert a["fold"].tolist() == b["fold"].tolist(), "key-stable across partitionings"
+    assert set(a["fold"]) == {0, 1, 2, 3, 4}
+    # roughly balanced (md5 uniformity): each fold within 3 sigma
+    counts = a["fold"].value_counts()
+    assert counts.min() > 60 and counts.max() < 140
+    # grouped: duplicate keys get identical folds
+    dup = spark.createDataFrame(pd.DataFrame({"doc_id": [7] * 10}))
+    f = with_fold(dup, "doc_id").toPandas()["fold"].nunique()
+    assert f == 1
+
+
+def test_temporal_split_embargo_boundaries(spark):
+    from fte.operators.sampling import temporal_split
+
+    ts = pd.to_datetime(
+        ["2024-01-14 23:59:59", "2024-01-15 00:00:00", "2024-01-15 12:00:00",
+         "2024-01-15 23:59:59", "2024-01-16 00:00:00", "2024-01-17 00:00:00"]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(6), "ts": ts}), "i long, ts timestamp_ntz"
+    )
+    got = (
+        temporal_split(df, "ts", "2024-01-16 00:00:00", embargo_seconds=86400)
+        .toPandas().sort_values("i")["tsplit"].tolist()
+    )
+    assert got == ["train", "embargo", "embargo", "embargo", "test", "test"]
+
+
+def test_standardize_matches_numpy(spark):
+    from fte.operators.encoding import standardize
+
+    rng = np.random.default_rng(13)
+    vals = rng.integers(10, 1000, 300).astype(np.int64)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64), "n": vals})
+    )
+    got = (
+        standardize(df, ["n"]).select("doc_id", "n_z")
+        .toPandas().sort_values("doc_id")["n_z"].to_numpy()
+    )
+    expect = (vals - vals.mean()) / vals.std(ddof=1)
+    np.testing.assert_allclose(got, expect, rtol=1e-9)
+    # constant column -> NULL z on every row
+    cdf = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1], "n": [5, 5]}))
+    z = standardize(cdf, ["n"]).toPandas()["n_z"]
+    assert z.isna().all()
+
+
+def test_psi_report_matches_direct(spark):
+    from fte.operators.encoding import psi_report
+
+    rng = np.random.default_rng(21)
+    ref_v = rng.integers(0, 500, 400).astype(np.int64)
+    cur_v = rng.integers(100, 700, 300).astype(np.int64)  # shifted dist
+    ref = spark.createDataFrame(pd.DataFrame({"doc_id": np.arange(400), "v": ref_v}))
+    cur = spark.createDataFrame(pd.DataFrame({"doc_id": np.arange(300), "v": cur_v}))
+    got = psi_report(ref, cur, "v", n_bins=10, exact=True).toPandas().sort_values("bin")
+
+    qs = np.quantile(ref_v, np.arange(1, 10) / 10, method="linear")
+    rbin = (ref_v[:, None] > qs[None, :]).sum(axis=1)
+    cbin = (cur_v[:, None] > qs[None, :]).sum(axis=1)
+    eps = 1e-6
+    for _, row in got.iterrows():
+        b = row["bin"]
+        n_ref, n_cur = (rbin == b).sum(), (cbin == b).sum()
+        assert row["n_ref"] == n_ref and row["n_cur"] == n_cur
+        p = max(n_cur / len(cur_v), eps)
+        q = max(n_ref / len(ref_v), eps)
+        assert abs(row["psi_term"] - round((p - q) * np.log(p / q), 6)) < 2e-6
+    # shifted distribution must read as drifted
+    assert got["psi_term"].sum() > 0.1
