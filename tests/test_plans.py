@@ -142,3 +142,35 @@ def test_deterministic_shuffle_window_is_partitioned(spark):
     m = re.search(r"windowspecdefinition\(([^,]+),", plan)
     assert m, plan
     assert m.group(1).startswith("_pid"), f"window not partitioned by _pid: {m.group(1)}"
+
+
+def test_encoding_operator_plan_shapes(spark, transcripts_df):
+    """Scale shapes of the round-4 encoding family: target_encode is
+    ONE hash Exchange (the category key) feeding a window;
+    feature_hash_rows is ONE hash Exchange (the (id,bucket)
+    aggregate); quantile_bin's data path has NO hash Exchange — the
+    boundary row arrives by broadcast."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from fte.operators.encoding import (
+        feature_hash_rows,
+        quantile_bin,
+        target_encode,
+    )
+
+    df = transcripts_df.withColumn("textlen", F.length("text").cast("double"))
+    te = target_encode(df, "role", "textlen", ["ts", "conv_id", "turn_idx"])
+    assert _n_exchanges(_plan(te)) == 1
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(20), "text": ["a b c d e"] * 20})
+    )
+    fh = feature_hash_rows(docs, k=8)
+    assert _n_exchanges(_plan(fh)) == 1
+
+    qb = quantile_bin(df, "textlen", n_bins=4)
+    plan = _plan(qb)
+    assert _n_exchanges(plan) == 0, "bin assignment must not shuffle the data"
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
