@@ -77,6 +77,7 @@ EXTRA = [
     "temporal_split",
     "zscore",
     "drift_psi",
+    "oof_target_encode",
 ]
 
 # synthetic transcript scale per sf dir (turns ≈ n_convs × ~15)

@@ -302,3 +302,53 @@ def psi_report(
         F.round("p_cur", 6).alias("p_cur"),
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+
+
+def oof_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    fold_col: str = "fold",
+    prefix: str = "oof",
+) -> DataFrame:
+    """Out-of-fold target encoding — the cross-validation twin of
+    ``target_encode``: each row's encoding is the mean of
+    ``target_col`` over rows of the same category in OTHER folds only
+    (never its own fold, so a fold's model never sees statistics
+    derived from its own labels — the standard CV leakage control;
+    use ``target_encode`` when leakage is temporal rather than
+    fold-structural).
+
+    Computed by complement: per-category totals minus the row's own
+    (category, fold) partial —
+    oof_mean = (Σ_cat − Σ_cat,fold) / (n_cat − n_cat,fold) —
+    so the cost is two hash aggregates over (cat) and (cat, fold)
+    (both map-side combined, key cardinality ≈ |cats|·k) broadcast
+    back onto the rows: the corpus itself never shuffles. Decimal
+    accumulation, double division of bit-identical operands (the
+    repo-wide oracle pattern). A category entirely inside one fold
+    has no out-of-fold evidence → NULL.
+    """
+    d = F.col(target_col).cast("decimal(27,6)")
+    per_cat = df.groupBy(cat_col).agg(
+        F.sum(d).cast("double").alias("_s_all"),
+        F.count(target_col).alias("_n_all"),
+    )
+    per_cat_fold = df.groupBy(cat_col, fold_col).agg(
+        F.sum(d).cast("double").alias("_s_in"),
+        F.count(target_col).alias("_n_in"),
+    )
+    oof = (
+        per_cat_fold.join(per_cat, cat_col)
+        .select(
+            cat_col,
+            fold_col,
+            (F.col("_n_all") - F.col("_n_in")).cast("long").alias(f"{prefix}_count"),
+            F.when(
+                F.col("_n_all") > F.col("_n_in"),
+                (F.col("_s_all") - F.col("_s_in"))
+                / (F.col("_n_all") - F.col("_n_in")),
+            ).alias(f"{prefix}_mean"),
+        )
+    )
+    return df.join(F.broadcast(oof), [cat_col, fold_col], "left")

@@ -105,6 +105,7 @@ def catalog_fe():
         "temporal_split": (q_temporal_split, SQL_TEMPORAL_SPLIT),
         "zscore": (q_zscore, SQL_ZSCORE),
         "drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
+        "oof_target_encode": (q_oof_target_encode, SQL_OOF_TARGET_ENCODE),
     }
 
 
@@ -239,4 +240,45 @@ SELECT COALESCE(r.bin, c.bin) AS bin,
              * ln(GREATEST(COALESCE(p_cur, 0.0), CAST(0.000001 AS DOUBLE))
                   / GREATEST(COALESCE(p_ref, 0.0), CAST(0.000001 AS DOUBLE))), 6) AS psi_term
 FROM r FULL JOIN c ON r.bin = c.bin
+"""
+
+
+def q_oof_target_encode(spark, sf_dir):
+    """Out-of-fold target encoding: event_type encoded by the mean of
+    `value` over the OTHER four user-grouped CV folds — the standard
+    leakage control when folds, not time, define what a model may see.
+    Complement form: per-category totals minus the own-(cat, fold)
+    partial; two small aggregates broadcast back, corpus never
+    shuffles."""
+    from fte.operators.encoding import oof_target_encode
+    from fte.operators.sampling import with_fold
+
+    e = _t(spark, sf_dir, "events")
+    ef = with_fold(e, "user_id", n_folds=5)
+    return oof_target_encode(ef, "event_type", "value", "fold").select(
+        "event_id", "fold", "oof_count", "oof_mean"
+    )
+
+
+SQL_OOF_TARGET_ENCODE = """
+WITH f AS (
+  SELECT *,
+         CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#cv42'), 1, 8)) AS BIGINT) % 5 AS BIGINT) AS fold
+  FROM events),
+a AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s_all,
+         COUNT(value) AS n_all
+  FROM f GROUP BY event_type),
+i AS (
+  SELECT event_type, fold,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s_in,
+         COUNT(value) AS n_in
+  FROM f GROUP BY event_type, fold)
+SELECT f.event_id, f.fold,
+       CAST(n_all - n_in AS BIGINT) AS oof_count,
+       CASE WHEN n_all > n_in THEN (s_all - s_in) / (n_all - n_in) END AS oof_mean
+FROM f
+JOIN i ON f.event_type = i.event_type AND f.fold = i.fold
+JOIN a ON f.event_type = a.event_type
 """

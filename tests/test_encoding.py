@@ -213,3 +213,40 @@ def test_psi_report_matches_direct(spark):
         assert abs(row["psi_term"] - round((p - q) * np.log(p / q), 6)) < 2e-6
     # shifted distribution must read as drifted
     assert got["psi_term"].sum() > 0.1
+
+
+def test_oof_target_encode_matches_pandas(spark):
+    """OOF encoding equals the direct pandas restatement (per-category
+    mean over rows of OTHER folds), and a category living entirely in
+    one fold yields NULL (no out-of-fold evidence)."""
+    from fte.operators.encoding import oof_target_encode
+
+    rng = np.random.default_rng(17)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "cat": rng.choice(["a", "b", "c"], n),
+            "fold": rng.integers(0, 4, n),
+            "y": np.round(rng.uniform(0, 10, n), 2),
+        }
+    )
+    # planted: category 'solo' exists only in fold 0
+    pdf.loc[:4, ["cat", "fold"]] = ["solo", 0]
+    df = spark.createDataFrame(pdf)
+    got = (
+        oof_target_encode(df, "cat", "y", "fold")
+        .select("rid", "oof_count", "oof_mean")
+        .toPandas().sort_values("rid").reset_index(drop=True)
+    )
+
+    def direct(row):
+        others = pdf[(pdf["cat"] == row["cat"]) & (pdf["fold"] != row["fold"])]["y"]
+        return pd.Series({"c": len(others), "m": others.mean() if len(others) else np.nan})
+
+    ref = pdf.apply(direct, axis=1)
+    assert got["oof_count"].tolist() == ref["c"].astype("int64").tolist()
+    a, b = got["oof_mean"].to_numpy(), ref["m"].to_numpy()
+    nan_both = np.isnan(a) & np.isnan(b)
+    assert np.all(nan_both | np.isclose(a, b, rtol=1e-9))
+    assert got.loc[pdf["cat"] == "solo", "oof_mean"].isna().all()
