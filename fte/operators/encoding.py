@@ -100,8 +100,17 @@ def quantile_bin(
     size; ``exact=True`` uses the exact interpolating percentile
     (sort-based — small inputs / oracle parity only). Either way the
     boundary row is a 1-row aggregate broadcast onto the projection:
-    no shuffle of the data itself.
+    no shuffle of the data itself. NULL values get a NULL bin (never
+    silently bin 0 — missing is not "lowest quantile").
     """
+    bounds = _quantile_bounds(df, value_col, n_bins, exact, accuracy)
+    return _bin_against(df, bounds, value_col, n_bins, out_col)
+
+
+def _quantile_bounds(
+    df: DataFrame, value_col: str, n_bins: int, exact: bool, accuracy: int = 10000
+) -> DataFrame:
+    """1-row frame of the n_bins−1 quantile boundaries of value_col."""
     qs = [i / n_bins for i in range(1, n_bins)]
     if exact:
         agg = F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qs]))
@@ -109,17 +118,28 @@ def quantile_bin(
         agg = F.percentile_approx(
             F.col(value_col), F.array(*[F.lit(q) for q in qs]), F.lit(accuracy)
         )
-    bounds = df.select(agg.alias("_qb"))
-    # n_bins is a plan-time constant: unroll the boundary comparisons
-    # into a flat sum of WHENs (whole-stage codegen) instead of an
-    # interpreted higher-order aggregate over the array (~100 µs/elem)
+    return df.select(agg.alias("_qb"))
+
+
+def _bin_against(
+    df: DataFrame, bounds: DataFrame, value_col: str, n_bins: int, out_col: str
+) -> DataFrame:
+    """Assign each row its bin vs a SHARED boundary frame. Sharing
+    matters with approximate boundaries: two independent
+    approx_percentile runs over the same data can return different
+    t-digest results (partition merge order), so every consumer that
+    must agree on edges (e.g. psi_report's two sides) bins against one
+    bounds frame. n_bins is a plan-time constant: the comparisons are
+    unrolled into a flat sum of WHENs (whole-stage codegen), never an
+    interpreted higher-order aggregate (~100 µs/elem)."""
     bin_expr = F.lit(0)
     for i in range(n_bins - 1):
         bin_expr = bin_expr + (
             F.when(F.col(value_col) > F.element_at("_qb", i + 1), 1).otherwise(0)
         )
     binned = df.crossJoin(F.broadcast(bounds)).withColumn(
-        out_col, bin_expr.cast("long")
+        out_col,
+        F.when(F.col(value_col).isNotNull(), bin_expr).cast("long"),
     )
     return binned.drop("_qb")
 
@@ -208,17 +228,30 @@ def standardize(
     whenever x² is exactly representable at 12 fractional digits
     (integer and low-precision features; for arbitrary doubles the
     cast rounds half-up vs half-even across engines — round the
-    outputs if bit-parity matters there). For ill-conditioned data
-    (|mean| ≫ std) prefer the built-in stddev_samp and give up
-    bit-parity; a constant column yields std 0 → NULL z (both
-    engines)."""
+    outputs if bit-parity matters there).
+
+    OVERFLOW GUARD: a value too large for the decimal casts (|x| ≥
+    ~1e21, or x² ≥ ~1e26 i.e. |x| ≥ ~1e13) try_casts to NULL (a plain
+    cast THROWS under Spark 4's default ANSI mode); a sum that
+    silently skipped such rows while the count kept them would bias
+    every z-score. The moment row therefore also counts successful
+    casts, and if ANY row failed, every z for that column is NULL
+    (honest refusal, not a wrong number) — rescale such features
+    (epoch-micros class) first. For ill-conditioned data (|mean| ≫
+    std) prefer the built-in stddev_samp and give up bit-parity; a
+    constant column yields std 0 → NULL z (both engines)."""
     aggs = []
     for c in value_cols:
         x = F.col(c).cast("double")
+        xd = x.try_cast("decimal(27,6)")
+        xxd = (x * x).try_cast("decimal(38,12)")
         aggs += [
             F.count(F.col(c)).alias(f"_n_{c}"),
-            F.sum(x.cast("decimal(27,6)")).cast("double").alias(f"_s_{c}"),
-            F.sum((x * x).cast("decimal(38,12)")).cast("double").alias(f"_ss_{c}"),
+            F.sum(xd).cast("double").alias(f"_s_{c}"),
+            F.sum(xxd).cast("double").alias(f"_ss_{c}"),
+            # casts that overflowed to NULL (sum skips them; n doesn't)
+            (F.count(F.col(c)) - F.least(F.count(xd), F.count(xxd)))
+            .alias(f"_bad_{c}"),
         ]
     moments = df.select(*aggs)
     out = df.crossJoin(F.broadcast(moments))
@@ -229,9 +262,11 @@ def standardize(
         std = F.sqrt(var)
         out = out.withColumn(
             c + suffix,
-            F.when(std > 0, (F.col(c) - mean) / std).otherwise(F.lit(None)),
+            F.when(
+                (F.col(f"_bad_{c}") == 0) & (std > 0), (F.col(c) - mean) / std
+            ).otherwise(F.lit(None)),
         )
-    drop = [f"_{p}_{c}" for c in value_cols for p in ("n", "s", "ss")]
+    drop = [f"_{p}_{c}" for c in value_cols for p in ("n", "s", "ss", "bad")]
     return out.drop(*drop)
 
 
@@ -254,30 +289,27 @@ def psi_report(
     Output: (bin, n_ref, n_cur, p_ref, p_cur, psi_term) — one row per
     bin, terms rounded to 6dp (ln differs across engines in the last
     ulp; rounding restores hash-parity, the xent-query precedent).
+    NULL values land in their own bin −1, so a change in the missing
+    rate shows up as its own drift term instead of polluting bin 0.
 
-    Scale: boundaries from one (approx_)percentile aggregate on ref;
-    each side is then scan → unrolled bin projection → n_bins-row
-    count aggregate; the join is n_bins rows. Nothing large shuffles.
+    Scale: boundaries from ONE (approx_)percentile aggregate on ref,
+    shared by BOTH sides — two independent approx_percentile runs over
+    ref could return different t-digest edges (partition merge order)
+    and silently bias every share. Each side is then scan → unrolled
+    bin projection → n_bins-row count aggregate; the join is n_bins
+    rows. Nothing large shuffles.
     """
-    binned_ref = quantile_bin(ref, value_col, n_bins, out_col="bin", exact=exact)
-    # current rows bin against the REFERENCE boundaries
-    qs = [i / n_bins for i in range(1, n_bins)]
-    if exact:
-        agg = F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qs]))
-    else:
-        agg = F.percentile_approx(
-            F.col(value_col), F.array(*[F.lit(q) for q in qs]), F.lit(10000)
-        )
-    bounds = ref.select(agg.alias("_qb"))
-    bin_expr = F.lit(0)
-    for i in range(n_bins - 1):
-        bin_expr = bin_expr + (
-            F.when(F.col(value_col) > F.element_at("_qb", i + 1), 1).otherwise(0)
-        )
-    binned_cur = (
-        cur.crossJoin(F.broadcast(bounds))
-        .withColumn("bin", bin_expr.cast("long"))
-        .drop("_qb")
+    # localCheckpoint pins the 1-row boundary frame: even the SAME
+    # approx plan evaluated once per consumer may merge t-digest
+    # partials in a different order and yield different edges
+    bounds = _quantile_bounds(ref, value_col, n_bins, exact).localCheckpoint(
+        eager=False
+    )
+    binned_ref = _bin_against(ref, bounds, value_col, n_bins, "bin").fillna(
+        -1, subset=["bin"]
+    )
+    binned_cur = _bin_against(cur, bounds, value_col, n_bins, "bin").fillna(
+        -1, subset=["bin"]
     )
 
     def shares(binned: DataFrame, n_alias: str, p_alias: str) -> DataFrame:
@@ -323,8 +355,13 @@ def oof_target_encode(
     (category, fold) partial —
     oof_mean = (Σ_cat − Σ_cat,fold) / (n_cat − n_cat,fold) —
     so the cost is two hash aggregates over (cat) and (cat, fold)
-    (both map-side combined, key cardinality ≈ |cats|·k) broadcast
-    back onto the rows: the corpus itself never shuffles. Decimal
+    (both map-side combined, key cardinality ≈ |cats|·k) joined back
+    onto the rows. The join strategy is LEFT TO SPARK: low-cardinality
+    categoricals auto-broadcast, while target encoding's primary
+    high-cardinality use (user_id-class keys, 10^8+ categories at
+    100 TB) would break a forced broadcast hint — there the join
+    shuffles on the (cat, fold) key, the corpus's own distribution.
+    Decimal
     accumulation, double division of bit-identical operands (the
     repo-wide oracle pattern). A category entirely inside one fold
     has no out-of-fold evidence → NULL.
@@ -351,4 +388,4 @@ def oof_target_encode(
             ).alias(f"{prefix}_mean"),
         )
     )
-    return df.join(F.broadcast(oof), [cat_col, fold_col], "left")
+    return df.join(oof, [cat_col, fold_col], "left")

@@ -187,8 +187,13 @@ def temporal_split(
     'test', rows inside the embargo window are 'embargo' (DROPPED from
     both sides by convention — they leak label horizon into training
     when targets look up to embargo_seconds into the future; the
-    standard purged time-series split). Pure projection."""
-    cut = F.to_timestamp(F.lit(cutoff))
+    standard purged time-series split). Pure projection.
+
+    The cutoff literal is cast to the ts COLUMN's own type: parquet
+    timestamps load as TIMESTAMP_NTZ in Spark 4 (CLAUDE.md), and
+    comparing NTZ against a session-zoned to_timestamp literal would
+    silently shift the boundary with spark.sql.session.timeZone."""
+    cut = F.lit(cutoff).cast(df.schema[ts_col].dataType)
     train_end = cut - F.make_interval(secs=F.lit(float(embargo_seconds)))
     c = F.col(ts_col)
     return df.withColumn(

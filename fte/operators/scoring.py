@@ -85,10 +85,15 @@ def score_with_model(
     cache_key: str | None = None,
 ) -> DataFrame:
     """(id, model_score) for every document. ``model_loader`` is
-    called lazily AT MOST ONCE per Python worker process — its result
-    is cached in ``fte.operators.scoring._MODEL_CACHE`` (a worker-side
-    module global, shared across tasks, LRU-bounded to
-    ``_MODEL_CACHE_MAX`` entries) under ``cache_key`` (default:
+    called lazily at most once per Python worker process WHILE AT
+    MOST ``_MODEL_CACHE_MAX`` distinct models are active on that
+    worker — its result is cached in
+    ``fte.operators.scoring._MODEL_CACHE`` (a worker-side module
+    global, shared across tasks, LRU-bounded). Beyond the cap,
+    eviction can force a reload, bounded at once per TASK (the lookup
+    is hoisted out of the per-batch loop), never once per Arrow
+    batch; pipelines juggling more concurrent models should raise
+    ``_MODEL_CACHE_MAX``. Keyed by ``cache_key`` (default:
     the sha256 of the loader's cloudpickle bytes, so distinct lambdas
     never collide and identical loaders share) — then applied per
     Arrow batch. Swap
@@ -120,8 +125,15 @@ def score_with_model(
         # per task (see _MODEL_CACHE comment above)
         import fte.operators.scoring as _scoring_mod
 
+        # ONE cache lookup per task (not per Arrow batch): under LRU
+        # pressure from >_MODEL_CACHE_MAX interleaved models, a
+        # per-batch lookup would reload per batch; hoisting bounds the
+        # worst case at one load per task. Lazy: empty partitions
+        # never load.
+        model = None
         for pdf in batches:
-            model = _scoring_mod._cache_get_or_load(key, model_loader)
+            if model is None:
+                model = _scoring_mod._cache_get_or_load(key, model_loader)
             for start in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[start:start + batch_size]
                 yield pd.DataFrame(

@@ -405,10 +405,19 @@ def run_available_now_to_parquet(
     sequential invocations sharing ``checkpoint_dir`` continue from
     the saved source offsets AND stateful-operator state. This is the
     incremental-batch shape: run availableNow per ingest cycle, state
-    carries across cycles, output accumulates append-only."""
+    carries across cycles, output accumulates.
 
-    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+    The sink is IDEMPOTENT under batch replay: each micro-batch
+    overwrites its own ``batch_id=<id>/`` partition directory, so a
+    crash between a successful write and the checkpoint commit —
+    which makes the engine re-run that batch on recovery — rewrites
+    the same directory instead of appending duplicates (a bare
+    mode('append') sink would double every replayed row, the exact
+    failure recovery exists to survive). Read the root dir; the
+    discovered ``batch_id`` partition column doubles as provenance."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     q = (
         result.writeStream.foreachBatch(write_batch)

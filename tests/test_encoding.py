@@ -250,3 +250,70 @@ def test_oof_target_encode_matches_pandas(spark):
     nan_both = np.isnan(a) & np.isnan(b)
     assert np.all(nan_both | np.isclose(a, b, rtol=1e-9))
     assert got.loc[pdf["cat"] == "solo", "oof_mean"].isna().all()
+
+
+def test_temporal_split_timezone_independent(spark):
+    """The cutoff literal must compare in the ts column's own (NTZ)
+    type: under a non-UTC session timezone a session-zoned literal
+    would shift the boundary by the TZ offset."""
+    from fte.operators.sampling import temporal_split
+
+    ts = pd.to_datetime(["2024-01-15 20:00:00", "2024-01-16 04:00:00"])
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": [0, 1], "ts": ts}), "i long, ts timestamp_ntz"
+    )
+    expect = ["embargo", "test"]
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/Los_Angeles", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = (
+                temporal_split(df, "ts", "2024-01-16 00:00:00", embargo_seconds=86400)
+                .toPandas().sort_values("i")["tsplit"].tolist()
+            )
+            assert got == expect, f"tz={tz}: {got}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_standardize_overflow_refuses_not_biases(spark):
+    """A value whose square overflows DECIMAL(38,12) must yield NULL z
+    for the whole column (honest refusal), never a silently biased
+    mean/std computed from the castable subset."""
+    from fte.operators.encoding import standardize
+
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2, 3], "v": [1.0, 2.0, 3.0, 1.7e15]})
+    z = standardize(spark.createDataFrame(pdf), ["v"]).toPandas()["v_z"]
+    assert z.isna().all()
+    # sane column in the same call still standardizes
+    pdf2 = pd.DataFrame({"doc_id": [0, 1, 2], "v": [1.0, 2.0, 3.0]})
+    z2 = standardize(spark.createDataFrame(pdf2), ["v"]).toPandas()["v_z"]
+    assert not z2.isna().any()
+
+
+def test_quantile_bin_null_value_gets_null_bin(spark):
+    from fte.operators.encoding import quantile_bin
+
+    pdf = pd.DataFrame({"i": [0, 1, 2, 3], "v": [1.0, 2.0, None, 4.0]})
+    got = (
+        quantile_bin(spark.createDataFrame(pdf), "v", n_bins=2, exact=True)
+        .toPandas().set_index("i")["bin"]
+    )
+    assert pd.isna(got.loc[2])
+    assert not pd.isna(got.loc[0]) and not pd.isna(got.loc[3])
+
+
+def test_psi_null_rate_drift_has_own_bin(spark):
+    """A missing-rate change between snapshots must surface as bin −1
+    drift, not pollute bin 0."""
+    from fte.operators.encoding import psi_report
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"i": range(100), "v": [float(x) for x in range(100)]})
+    )
+    cur_vals = [float(x) for x in range(50)] + [None] * 50
+    cur = spark.createDataFrame(pd.DataFrame({"i": range(100), "v": cur_vals}))
+    got = psi_report(ref, cur, "v", n_bins=4, exact=True).toPandas().set_index("bin")
+    assert -1 in got.index
+    assert got.loc[-1, "n_ref"] == 0 and got.loc[-1, "n_cur"] == 50
+    assert got.loc[-1, "psi_term"] > 0.5  # big missing-rate drift term

@@ -289,6 +289,18 @@ def test_streaming_target_encode_matches_batch(spark, transcripts_pdf, tmp_path)
         .reset_index(drop=True)
     )
     assert len(got) == len(pdf), "each turn emitted exactly once across runs"
+    assert not got.duplicated(["conv_id", "turn_idx"]).any()
+    # sink idempotence under batch REPLAY: rewriting a batch's own
+    # partition dir (what recovery does after a crash between write
+    # and checkpoint commit) must not duplicate rows
+    import glob as _glob
+
+    batch_dirs = sorted(_glob.glob(f"{out}/batch_id=*"))
+    assert batch_dirs, "per-batch partition layout expected"
+    replay_pdf = spark.read.parquet(batch_dirs[0]).toPandas()
+    n_before = spark.read.parquet(out).count()
+    spark.createDataFrame(replay_pdf).write.mode("overwrite").parquet(batch_dirs[0])
+    assert spark.read.parquet(out).count() == n_before
 
     batch_df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA).withColumn(
         "textlen", F.length("text").cast("double")
