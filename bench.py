@@ -78,6 +78,8 @@ EXTRA = [
     "zscore",
     "drift_psi",
     "oof_target_encode",
+    "weighted_sample",
+    "sample_per_group",
 ]
 
 # synthetic transcript scale per sf dir (turns ≈ n_convs × ~15)

@@ -202,3 +202,65 @@ def temporal_split(
         .when(c >= cut, F.lit("test"))
         .otherwise(F.lit("embargo")),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 42,
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (n items,
+    inclusion odds ∝ weight): the Efraimidis–Spirakis priority scheme
+    — priority = u^(1/w) with u = hash_uniform(key), keep the n
+    largest priorities. Key-stable like everything here: the sample
+    is a pure function of (key set, weights, seed); reweighting only
+    a few rows only perturbs those rows' priorities.
+
+    Scale shape: one projection + a global top-n, which the engine's
+    standing rule plans as TakeOrderedAndProject (per-partition heaps
+    of n, no global sort/shuffle of the corpus). Priorities are
+    rounded to 9dp BEFORE ordering with the key as tiebreak, so the
+    selected set is identical across engines (raw pow() differs in
+    the last ulp across libm implementations — rounding + a total
+    tiebreak makes the order, and therefore the cut, reproducible).
+    Rows with weight <= 0 or NULL are never selected.
+    """
+    u = hash_uniform(key_col, seed)
+    w = F.col(weight_col).cast("double")
+    pri = F.round(F.pow(u, 1.0 / w), 9)
+    out = (
+        df.filter(w > 0)
+        .withColumn(priority_col, pri)
+        .orderBy(F.col(priority_col).desc(), F.col(key_col).asc())
+        .limit(n)
+    )
+    return out
+
+
+def sample_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    n_per_group: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic N-per-group selection (eval-set construction,
+    per-source caps): rank rows inside each group by (md5-uniform,
+    key) — a stable pseudo-random total order — and keep the first
+    ``n_per_group``. Unlike sample_sources' Bernoulli keep, the
+    output size per group is EXACT (min(n, group size)). One window
+    over the group key; the shuffle is the group-key distribution
+    itself, and with n_per_group small the post-filter output is
+    tiny."""
+    from pyspark.sql import Window
+
+    u = hash_uniform(key_col, seed)
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )

@@ -106,6 +106,8 @@ def catalog_fe():
         "zscore": (q_zscore, SQL_ZSCORE),
         "drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
         "oof_target_encode": (q_oof_target_encode, SQL_OOF_TARGET_ENCODE),
+        "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+        "sample_per_group": (q_sample_per_group, SQL_SAMPLE_PER_GROUP),
     }
 
 
@@ -281,4 +283,61 @@ SELECT f.event_id, f.fold,
 FROM f
 JOIN i ON f.event_type = i.event_type AND f.fold = i.fold
 JOIN a ON f.event_type = a.event_type
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling without replacement:
+    top-50 documents by priority u^(1/n_chars) — inclusion odds scale
+    with length. Global top-n plans as TakeOrderedAndProject;
+    priorities rounded to 9dp + key tiebreak so the cut is identical
+    across engines (raw pow differs in the last ulp)."""
+    from fte.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(d, "doc_id", "n_chars", n=50).select(
+        "doc_id", "n_chars", "priority"
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars, priority FROM (
+  SELECT doc_id, n_chars,
+         ROUND(POWER(
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT) AS DOUBLE)
+             / CAST(4294967296.0 AS DOUBLE),
+           CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE)), 9) AS priority
+  FROM documents
+  WHERE n_chars > 0
+)
+ORDER BY priority DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+def q_sample_per_group(spark, sf_dir):
+    """Exact N-per-group selection: the 5 pseudo-randomly-first
+    documents of each source by (md5-uniform, key) rank — eval-set
+    construction with exact per-stratum counts (vs sample_sources'
+    Bernoulli keep)."""
+    from fte.operators.sampling import sample_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_per_group(d, "doc_id", "source", n_per_group=5).select(
+        "doc_id", "source"
+    )
+
+
+SQL_SAMPLE_PER_GROUP = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT) AS DOUBLE)
+                      / CAST(4294967296.0 AS DOUBLE) ASC,
+                    doc_id ASC
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 5
 """

@@ -317,3 +317,49 @@ def test_psi_null_rate_drift_has_own_bin(spark):
     assert -1 in got.index
     assert got.loc[-1, "n_ref"] == 0 and got.loc[-1, "n_cur"] == 50
     assert got.loc[-1, "psi_term"] > 0.5  # big missing-rate drift term
+
+
+def test_weighted_sample_properties(spark):
+    """E-S weighted sampling: deterministic across partitionings,
+    plans as TakeOrderedAndProject, and inclusion tracks weight (the
+    heavy half dominates a small sample)."""
+    from fte.operators.sampling import weighted_sample
+
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, dtype=np.int64),
+            # ids < 500 light (w=1), ids >= 500 heavy (w=50)
+            "w": np.where(np.arange(1000) < 500, 1.0, 50.0),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = weighted_sample(df, "doc_id", "w", n=100).toPandas()
+    b = weighted_sample(df.repartition(13), "doc_id", "w", n=100).toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert len(a) == 100
+    heavy = (a["doc_id"] >= 500).mean()
+    assert heavy > 0.8, f"heavy items must dominate, got {heavy}"
+    plan = weighted_sample(df, "doc_id", "w", n=100)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # weight <= 0 rows never selected
+    pdf.loc[0, "w"] = 0.0
+    z = weighted_sample(spark.createDataFrame(pdf), "doc_id", "w", n=1000).toPandas()
+    assert 0 not in set(z["doc_id"])
+
+
+def test_sample_per_group_exact_counts(spark):
+    from fte.operators.sampling import sample_per_group
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "src": ["a"] * 20 + ["b"] * 17 + ["c"] * 3,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = sample_per_group(df, "doc_id", "src", n_per_group=5).toPandas()
+    counts = got["src"].value_counts().to_dict()
+    assert counts == {"a": 5, "b": 5, "c": 3}  # small group keeps all
+    again = sample_per_group(df.repartition(7), "doc_id", "src", 5).toPandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])
