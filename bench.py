@@ -80,6 +80,8 @@ EXTRA = [
     "oof_target_encode",
     "weighted_sample",
     "sample_per_group",
+    "minmax_scale",
+    "robust_scale",
 ]
 
 # synthetic transcript scale per sf dir (turns ≈ n_convs × ~15)

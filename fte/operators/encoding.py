@@ -389,3 +389,58 @@ def oof_target_encode(
         )
     )
     return df.join(oof, [cat_col, fold_col], "left")
+
+
+def minmax_scale(
+    df: DataFrame, value_cols: Sequence[str], suffix: str = "_mm"
+) -> DataFrame:
+    """Min-max scaling to [0, 1]: (x − min) / (max − min), extremes
+    from one aggregate broadcast back. min/max are exact (no
+    accumulation order), so cross-engine parity is free. A constant
+    column (max == min) yields NULL."""
+    aggs = []
+    for c in value_cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    ext = df.select(*aggs)
+    out = df.crossJoin(F.broadcast(ext))
+    for c in value_cols:
+        mn, mx = F.col(f"_mn_{c}").cast("double"), F.col(f"_mx_{c}").cast("double")
+        out = out.withColumn(
+            c + suffix,
+            F.when(mx > mn, (F.col(c).cast("double") - mn) / (mx - mn)),
+        )
+    return out.drop(*[f"_{p}_{c}" for c in value_cols for p in ("mn", "mx")])
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    suffix: str = "_rz",
+    exact: bool = False,
+) -> DataFrame:
+    """Robust z-score (x − median) / (1.4826 · MAD) — the
+    outlier-resistant alternative to ``standardize`` (a single whale
+    value drags mean/std arbitrarily; median/MAD don't move). Two
+    passes: median of x, then median of |x − median| with the first
+    result broadcast in between (MAD is not a one-pass aggregate).
+    ``exact`` as in quantile_bin: approx_percentile (t-digest,
+    mergeable) at scale, exact interpolating percentile for
+    small/oracle runs. MAD 0 (>50% of values identical) yields NULL.
+    """
+    def med(frame: DataFrame, col) -> DataFrame:
+        agg = (
+            F.percentile(col, F.lit(0.5))
+            if exact
+            else F.percentile_approx(col, F.lit(0.5), F.lit(10000))
+        )
+        return frame.select(agg.alias("_m"))
+
+    x = F.col(value_col).cast("double")
+    m1 = med(df, x).localCheckpoint(eager=False)  # pin: two consumers
+    with_med = df.crossJoin(F.broadcast(m1.select(F.col("_m").alias("_med"))))
+    m2 = med(with_med, F.abs(x - F.col("_med"))).select(F.col("_m").alias("_mad"))
+    out = with_med.crossJoin(F.broadcast(m2))
+    scale = F.lit(1.4826) * F.col("_mad")
+    return out.withColumn(
+        value_col + suffix, F.when(scale > 0, (x - F.col("_med")) / scale)
+    ).drop("_med", "_mad")

@@ -108,6 +108,8 @@ def catalog_fe():
         "oof_target_encode": (q_oof_target_encode, SQL_OOF_TARGET_ENCODE),
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
         "sample_per_group": (q_sample_per_group, SQL_SAMPLE_PER_GROUP),
+        "minmax_scale": (q_minmax_scale, SQL_MINMAX_SCALE),
+        "robust_scale": (q_robust_scale, SQL_ROBUST_SCALE),
     }
 
 
@@ -340,4 +342,48 @@ SELECT doc_id, source FROM (
   FROM documents
 )
 WHERE rk <= 5
+"""
+
+
+def q_minmax_scale(spark, sf_dir):
+    """Min-max scaling of documents.n_chars to [0,1] — exact extremes
+    broadcast from one aggregate; parity is free (no accumulation
+    order)."""
+    from fte.operators.encoding import minmax_scale
+
+    d = _t(spark, sf_dir, "documents")
+    return minmax_scale(d, ["n_chars"]).select("doc_id", "n_chars_mm")
+
+
+SQL_MINMAX_SCALE = """
+WITH m AS (SELECT CAST(MIN(n_chars) AS DOUBLE) AS mn,
+                  CAST(MAX(n_chars) AS DOUBLE) AS mx FROM documents)
+SELECT doc_id,
+       CASE WHEN mx > mn THEN (CAST(n_chars AS DOUBLE) - mn) / (mx - mn) END AS n_chars_mm
+FROM documents, m
+"""
+
+
+def q_robust_scale(spark, sf_dir):
+    """Robust z (median/MAD) of documents.n_chars — the
+    outlier-resistant scaler: two exact-median passes (approx
+    t-digest is the scale default), first median broadcast between
+    them."""
+    from fte.operators.encoding import robust_scale
+
+    d = _t(spark, sf_dir, "documents")
+    return robust_scale(d, "n_chars", exact=True).select("doc_id", "n_chars_rz")
+
+
+SQL_ROBUST_SCALE = """
+WITH m1 AS (SELECT quantile_cont(n_chars, 0.5) AS med FROM documents),
+m2 AS (
+  SELECT quantile_cont(abs(CAST(n_chars AS DOUBLE) - med), 0.5) AS mad
+  FROM documents, m1
+)
+SELECT doc_id,
+       CASE WHEN CAST(1.4826 AS DOUBLE) * mad > 0
+            THEN (CAST(n_chars AS DOUBLE) - med) / (CAST(1.4826 AS DOUBLE) * mad)
+       END AS n_chars_rz
+FROM documents, m1, m2
 """

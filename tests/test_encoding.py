@@ -363,3 +363,31 @@ def test_sample_per_group_exact_counts(spark):
     assert counts == {"a": 5, "b": 5, "c": 3}  # small group keeps all
     again = sample_per_group(df.repartition(7), "doc_id", "src", 5).toPandas()
     assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_minmax_and_robust_scale(spark):
+    from fte.operators.encoding import minmax_scale, robust_scale
+
+    rng = np.random.default_rng(41)
+    vals = rng.integers(0, 1000, 200).astype(np.int64)
+    vals[0] = 10**7  # whale outlier
+    pdf = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64), "v": vals})
+    df = spark.createDataFrame(pdf)
+
+    mm = minmax_scale(df, ["v"]).toPandas().sort_values("doc_id")["v_mm"].to_numpy()
+    exp_mm = (vals - vals.min()) / (vals.max() - vals.min())
+    np.testing.assert_allclose(mm, exp_mm, rtol=1e-12)
+
+    rz = robust_scale(df, "v", exact=True).toPandas().sort_values("doc_id")["v_rz"].to_numpy()
+    med = np.quantile(vals, 0.5, method="linear")
+    mad = np.quantile(np.abs(vals - med), 0.5, method="linear")
+    np.testing.assert_allclose(rz, (vals - med) / (1.4826 * mad), rtol=1e-9)
+    # robustness: the whale's |rz| is huge but everyone else's is sane
+    assert np.abs(rz[1:]).max() < 10 and np.abs(rz[0]) > 1000
+    # min-max, by contrast, crushes the non-whales into ~0 — the
+    # documented reason robust_scale exists
+    assert exp_mm[1:].max() < 1e-3
+    # constant column -> NULL for both
+    c = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1], "v": [5, 5]}))
+    assert minmax_scale(c, ["v"]).toPandas()["v_mm"].isna().all()
+    assert robust_scale(c, "v", exact=True).toPandas()["v_rz"].isna().all()
