@@ -20,6 +20,8 @@ no Python UDFs. Signatures are computed in one projection per doc.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from fte.operators.text import with_fingerprint
@@ -309,11 +311,26 @@ def minhash_lsh_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
-def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Connected components over dup pairs (small-world iterative
-    min-label propagation). Returns (id, component_id). Converges in
-    O(log n) rounds for realistic dup-cluster diameters; each round is
-    one join + one aggregate."""
+def duplicate_components(
+    pairs: DataFrame, max_iter: int = 20, on_exhaust: str = "raise"
+) -> DataFrame:
+    """Connected components over dup pairs. Returns (id, component_id).
+
+    Each round combines min-label propagation (comp ← min over 1-hop
+    neighbors' comp) with pointer doubling (comp ← comp's comp, i.e.
+    path halving on the label forest), so the distance every node's
+    label has travelled toward the component minimum roughly doubles
+    per round and convergence is O(log diameter) — templated web text
+    produces CHAIN-shaped near-dup clusters whose diameter easily
+    exceeds any fixed round budget under plain 1-hop propagation.
+
+    If ``max_iter`` rounds still leave labels changing, the result is
+    partially merged (one true cluster would surface several
+    "canonicals" downstream), so exhaustion is never silent:
+    ``on_exhaust`` is "raise" (default) or "warn".
+    """
+    if on_exhaust not in ("raise", "warn"):
+        raise ValueError(f"on_exhaust must be 'raise' or 'warn', got {on_exhaust!r}")
     edges = pairs.select("id_a", "id_b")
     labels = (
         edges.select(F.col("id_a").alias("id"))
@@ -322,16 +339,28 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("comp", F.col("id"))
     )
     sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    converged = False
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.id_b == labels.id)
             .groupBy("id_a")
             .agg(F.min("comp").alias("n_comp"))
         )
-        new = (
+        stepped = (
             labels.join(neigh, labels.id == neigh.id_a, "left")
             .select(
                 "id", F.least(F.col("comp"), F.coalesce("n_comp", "comp")).alias("comp")
+            )
+        )
+        # pointer doubling: follow my label's label (path halving)
+        parent = stepped.select(
+            F.col("id").alias("_pid"), F.col("comp").alias("_pcomp")
+        )
+        new = (
+            stepped.join(parent, stepped.comp == parent._pid, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("_pcomp", "comp")).alias("comp"),
             )
         )
         changed = (
@@ -343,7 +372,17 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = new.localCheckpoint(eager=True)  # truncate lineage per round
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"duplicate_components did not converge in max_iter={max_iter} "
+            "rounds; labels are partially merged (a single true cluster may "
+            "carry several component ids). Raise max_iter."
+        )
+        if on_exhaust == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

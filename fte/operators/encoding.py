@@ -381,9 +381,12 @@ def oof_target_encode(
             cat_col,
             fold_col,
             (F.col("_n_all") - F.col("_n_in")).cast("long").alias(f"{prefix}_count"),
+            # coalesce: a (cat,fold) whose targets are ALL NULL has
+            # _s_in NULL but _n_in 0 — NULL-target rows must reduce
+            # the count, not NULL-out the encoding (r5 ADVICE)
             F.when(
                 F.col("_n_all") > F.col("_n_in"),
-                (F.col("_s_all") - F.col("_s_in"))
+                (F.coalesce("_s_all", F.lit(0.0)) - F.coalesce("_s_in", F.lit(0.0)))
                 / (F.col("_n_all") - F.col("_n_in")),
             ).alias(f"{prefix}_mean"),
         )

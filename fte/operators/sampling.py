@@ -227,13 +227,27 @@ def weighted_sample(
     the last ulp across libm implementations — rounding + a total
     tiebreak makes the order, and therefore the cut, reproducible).
     Rows with weight <= 0 or NULL are never selected.
+
+    Weights are normalized by max(w) before the pow — x ↦ x^wmax is
+    strictly increasing on [0,1), so the selected set is the same as
+    raw E-S, but the numerics change decisively: with raw 1/w
+    exponents, large weights (w ≳ 1e5, e.g. char counts of long docs)
+    compress every priority into 0.9999999xx and the 9dp rounding
+    collapses the top-n boundary into key-ordered ties; normalized,
+    the heaviest item's exponent is 1 and boundary priorities stay
+    O(1)-spread, so 9dp is ~1e-9 RELATIVE precision where the cut
+    happens. The 1-row max(w) rides in on a broadcast cross join
+    (same 1-row-moment shape as the scalers), not a collect.
     """
     u = hash_uniform(key_col, seed)
     w = F.col(weight_col).cast("double")
-    pri = F.round(F.pow(u, 1.0 / w), 9)
+    pos = df.filter(w > 0)
+    wmax = pos.agg(F.max(w).alias("_wmax"))
+    pri = F.round(F.pow(u, F.col("_wmax") / w), 9)
     out = (
-        df.filter(w > 0)
+        pos.crossJoin(F.broadcast(wmax))
         .withColumn(priority_col, pri)
+        .drop("_wmax")
         .orderBy(F.col(priority_col).desc(), F.col(key_col).asc())
         .limit(n)
     )

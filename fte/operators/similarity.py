@@ -539,6 +539,25 @@ def ivf_build(
     return _ivf_assign(df, C, vec_col), C
 
 
+def _kmeans_cell_means(assigned: DataFrame, vec_col: str) -> list:
+    """One Lloyd recentering pass: per-(cell, dim) mean, re-packed
+    executor-side into a dim-ordered array per cell so the driver
+    collect is O(n_cells) rows. Struct-field extraction over the
+    sorted array (``_sm._m``) is ExtractValue codegen, not an
+    interpreted higher-order lambda."""
+    return (
+        assigned.select(
+            "ivf_cell", F.posexplode(_as_double(vec_col)).alias("_i", "_x")
+        )
+        .groupBy("ivf_cell", "_i")
+        .agg(F.avg("_x").alias("_m"))
+        .groupBy("ivf_cell")
+        .agg(F.sort_array(F.collect_list(F.struct("_i", "_m"))).alias("_sm"))
+        .select("ivf_cell", F.col("_sm._m").alias("_ms"))
+        .collect()
+    )
+
+
 def ivf_build_kmeans(
     df: DataFrame, n_cells: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
     seed: int = 42, iters: int = 3,
@@ -549,26 +568,26 @@ def ivf_build_kmeans(
 
     Each round is one distributed pass: GEMM assignment (pandas UDF)
     → posexplode vector components → hash-aggregate per (cell, dim)
-    mean. The shuffle moves only n_cells × dim partial sums per map
-    task (map-side combine), never vectors; the n_cells × dim result
-    collects to the driver (tiny) to become the next round's broadcast
+    mean → executor-side re-pack into ONE dim-length array per cell
+    (sort_array over collected (dim, mean) structs + struct-field
+    extraction — all codegen, no per-element lambda). The shuffle
+    moves only n_cells × dim partial sums per map task (map-side
+    combine), never vectors; the driver collects exactly n_cells rows
+    per round (NOT n_cells × dim component rows — at production scale
+    2^16 cells × 1024 dims the row-per-component shape is ~67M driver
+    rows per Lloyd iteration) to become the next round's broadcast
     matrix. Cells that lose all members keep their previous centroid.
     """
     assigned, C = ivf_build(df, n_cells, id_col, vec_col, seed)
     dim = C.shape[1]
     for _ in range(iters):
-        means = (
-            assigned.select(
-                "ivf_cell", F.posexplode(_as_double(vec_col)).alias("_i", "_x")
-            )
-            .groupBy("ivf_cell", "_i")
-            .agg(F.avg("_x").alias("_m"))
-            .collect()
-        )
+        means = _kmeans_cell_means(assigned, vec_col)
         C2 = C.copy()
         touched = np.zeros(len(C), dtype=bool)
         for r in means:
-            C2[r["ivf_cell"], r["_i"]] = r["_m"]
+            ms = np.asarray(r["_ms"], dtype="float64")
+            assert ms.shape == (dim,)
+            C2[r["ivf_cell"]] = ms
             touched[r["ivf_cell"]] = True
         norms = np.linalg.norm(C2, axis=1, keepdims=True)
         norms[norms == 0] = 1.0

@@ -540,22 +540,30 @@ def catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str |
 
 
 # The driver's CORRECTNESS snapshot records only the FIRST 50 catalog
-# entries (dict insertion order).  Rounds 1-3 left 29 queries outside
-# that window (driver-green locally via tools/check_oracle.py, but never
-# in a driver file).  Rotate them to the front so round 4 gives every
-# catalog query a hard driver-checked row in SOME CORRECTNESS_r*.json;
-# the already-driver-green flagship rows fill positions 29-49.
+# entries (dict insertion order).  Round-5 rotation (VERDICT r4 "Next
+# round" #1): the 12 r4 feature-eng additions (never driver-checked)
+# take positions 0-11, the 29 rows displaced from the r4 window fill
+# 12-40, and 9 r4-green rows refill 41-49.  After this round every
+# catalog query has a driver-green row in some CORRECTNESS_r*.json.
 _DRIVER_WINDOW_FIRST = (
-    # 21 never driver-checked (VERDICT r3 "Next round" #1)
+    # 12 r4 feature-eng queries, never in a driver window before r5
+    "target_encode", "quantile_bin", "feature_hash", "cv_folds",
+    "temporal_split", "zscore", "drift_psi", "oof_target_encode",
+    "weighted_sample", "sample_per_group", "minmax_scale", "robust_scale",
+    # 29 rows displaced from the r4 window (driver-green r01-r03)
+    "minhash_neardup", "simhash_neardup", "token_stats", "doc_quality",
+    "lang_id", "emb_top_pairs", "emb_top_pairs_gemm", "knn_batch",
+    "lsh_topk", "ivf_topk", "lsh_recall_vs_exact", "ivf_recall_vs_exact",
+    "minhash_recall_vs_exact", "simhash_recall_vs_exact", "segment_dedup",
+    "token_fertility", "ivf_knn_batch", "ivf_knn_recall_vs_exact",
+    "canonical_per_cluster", "shuffle_order", "emb_norms", "emb_neardup",
+    "dup_components", "winnow_fp", "winnow_pairs", "hash_split",
+    "pack_bins", "curation_funnel", "top_terms",
+    # 9 r4-green refill rows (approx_distinct kept in-window so its new
+    # value-checked gate lands in a driver file this round)
     "ewma", "approx_distinct", "quantile_sketch", "pandas_scalar",
     "pandas_udaf_median", "training_pairs", "sft_render", "sft_spans",
-    "repetition_stats", "pii_redact", "doc_chunks", "bm25_topk",
-    "bm25_batch", "decontaminate", "source_mix", "unigram_xent",
-    "emb_pool", "xent_percentile_gate", "key_skew", "variant_extract",
-    "model_score",
-    # 8 rows driver-green in r02 but displaced from the r3 window
-    "value_histogram", "set_ops", "range_join", "pivot_user_types",
-    "cube_day_type", "grouping_sets", "rank_functions", "tumbling_hour",
+    "repetition_stats",
 )
 
 

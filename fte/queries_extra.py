@@ -231,14 +231,30 @@ GROUP BY GROUPING SETS ((date_trunc('day', ts), event_type), (event_type), ())
 # ------------------------------------------------------ approx sketch
 
 def q_approx_distinct(spark, sf_dir):
-    """HLL++ distinct-user estimate per event_type (rows-only: sketch
-    implementations differ across engines by design; the exact variant
-    is oracle-checked in user_stats/n_types)."""
+    """HLL++ distinct-user estimate per event_type, value-checked via the
+    quantile_sketch pattern: the EXACT distinct count is oracle-checked
+    and the sketch must land within a pinned relative-error gate (rsd
+    0.05 → gate 3σ = 15%; HLL++ is exact below its dense threshold so
+    small-SF error is usually 0).  The sketch value itself is not SQL-
+    reproducible across engines by design; the gate boolean is."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    g = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.05).alias("_approx"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
     )
+    ok = (
+        F.abs(F.col("_approx") - F.col("exact_users"))
+        <= 0.15 * F.greatest(F.col("exact_users"), F.lit(1).cast("long"))
+    )
+    return g.select("event_type", "exact_users", ok.alias("approx_ok"))
+
+
+SQL_APPROX_DISTINCT = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS approx_ok
+FROM events GROUP BY event_type
+"""
 
 
 # ----------------------------------------------- pandas UDF surface
@@ -343,7 +359,7 @@ def catalog_extra():
         "rank_functions": (q_rank_functions, SQL_RANK_FUNCTIONS),
         "tumbling_hour": (q_tumbling_hour, SQL_TUMBLING),
         "ewma": (q_ewma, SQL_EWMA),
-        "approx_distinct": (q_approx_distinct, None),
+        "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
         "quantile_sketch": (q_quantile_sketch, SQL_QUANTILE_SKETCH),
         "pandas_scalar": (q_pandas_scalar, SQL_PANDAS_SCALAR),
         "pandas_udaf_median": (q_pandas_udaf_median, SQL_PANDAS_UDAF),

@@ -201,7 +201,11 @@ b AS (
   FROM ref
 ),
 rbin AS (
-  SELECT CAST((CASE WHEN n_chars > qb[1] THEN 1 ELSE 0 END)
+  -- NULL values get their own bin -1, mirroring psi_report's NULL
+  -- bin (r5 ADVICE: without this branch NULLs silently fold into
+  -- bin 0 and break Spark/DuckDB parity if the column has NULLs)
+  SELECT CAST(CASE WHEN n_chars IS NULL THEN -1 ELSE
+              (CASE WHEN n_chars > qb[1] THEN 1 ELSE 0 END)
             + (CASE WHEN n_chars > qb[2] THEN 1 ELSE 0 END)
             + (CASE WHEN n_chars > qb[3] THEN 1 ELSE 0 END)
             + (CASE WHEN n_chars > qb[4] THEN 1 ELSE 0 END)
@@ -209,11 +213,12 @@ rbin AS (
             + (CASE WHEN n_chars > qb[6] THEN 1 ELSE 0 END)
             + (CASE WHEN n_chars > qb[7] THEN 1 ELSE 0 END)
             + (CASE WHEN n_chars > qb[8] THEN 1 ELSE 0 END)
-            + (CASE WHEN n_chars > qb[9] THEN 1 ELSE 0 END) AS BIGINT) AS bin
+            + (CASE WHEN n_chars > qb[9] THEN 1 ELSE 0 END) END AS BIGINT) AS bin
   FROM ref, b
 ),
 cbin AS (
-  SELECT CAST((CASE WHEN n_chars > qb[1] THEN 1 ELSE 0 END)
+  SELECT CAST(CASE WHEN n_chars IS NULL THEN -1 ELSE
+              (CASE WHEN n_chars > qb[1] THEN 1 ELSE 0 END)
             + (CASE WHEN n_chars > qb[2] THEN 1 ELSE 0 END)
             + (CASE WHEN n_chars > qb[3] THEN 1 ELSE 0 END)
             + (CASE WHEN n_chars > qb[4] THEN 1 ELSE 0 END)
@@ -221,7 +226,7 @@ cbin AS (
             + (CASE WHEN n_chars > qb[6] THEN 1 ELSE 0 END)
             + (CASE WHEN n_chars > qb[7] THEN 1 ELSE 0 END)
             + (CASE WHEN n_chars > qb[8] THEN 1 ELSE 0 END)
-            + (CASE WHEN n_chars > qb[9] THEN 1 ELSE 0 END) AS BIGINT) AS bin
+            + (CASE WHEN n_chars > qb[9] THEN 1 ELSE 0 END) END AS BIGINT) AS bin
   FROM cur, b
 ),
 r AS (
@@ -281,7 +286,9 @@ i AS (
   FROM f GROUP BY event_type, fold)
 SELECT f.event_id, f.fold,
        CAST(n_all - n_in AS BIGINT) AS oof_count,
-       CASE WHEN n_all > n_in THEN (s_all - s_in) / (n_all - n_in) END AS oof_mean
+       CASE WHEN n_all > n_in
+            THEN (COALESCE(s_all, CAST(0.0 AS DOUBLE)) - COALESCE(s_in, CAST(0.0 AS DOUBLE)))
+                 / (n_all - n_in) END AS oof_mean
 FROM f
 JOIN i ON f.event_type = i.event_type AND f.fold = i.fold
 JOIN a ON f.event_type = a.event_type
@@ -290,10 +297,12 @@ JOIN a ON f.event_type = a.event_type
 
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis–Spirakis weighted sampling without replacement:
-    top-50 documents by priority u^(1/n_chars) — inclusion odds scale
-    with length. Global top-n plans as TakeOrderedAndProject;
-    priorities rounded to 9dp + key tiebreak so the cut is identical
-    across engines (raw pow differs in the last ulp)."""
+    top-50 documents by priority u^(wmax/n_chars) — inclusion odds
+    scale with length; the max-weight normalization is a monotone
+    transform (same selected set) that keeps boundary priorities
+    O(1)-spread so the 9dp round is relative precision, not a
+    collapse toward 1.0 (large-weight fix, r5 ADVICE). Global top-n
+    plans as TakeOrderedAndProject."""
     from fte.operators.sampling import weighted_sample
 
     d = _t(spark, sf_dir, "documents")
@@ -305,12 +314,15 @@ def q_weighted_sample(spark, sf_dir):
 SQL_WEIGHTED_SAMPLE = """
 SELECT doc_id, n_chars, priority FROM (
   SELECT doc_id, n_chars,
-         ROUND(POWER(
+         ROUND(POWER(u, _wmax / CAST(n_chars AS DOUBLE)), 9) AS priority
+  FROM (
+    SELECT doc_id, n_chars,
            CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT) AS DOUBLE)
-             / CAST(4294967296.0 AS DOUBLE),
-           CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE)), 9) AS priority
-  FROM documents
-  WHERE n_chars > 0
+             / CAST(4294967296.0 AS DOUBLE) AS u,
+           CAST(MAX(n_chars) OVER () AS DOUBLE) AS _wmax
+    FROM documents
+    WHERE n_chars > 0
+  )
 )
 ORDER BY priority DESC, doc_id ASC
 LIMIT 50

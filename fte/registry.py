@@ -50,6 +50,19 @@ class FeatureSpec:
 @dataclass
 class FeatureRegistry:
     features: dict[str, FeatureSpec] = field(default_factory=dict)
+    # name -> CV metrics dict (the reference posted evaluator scores
+    # back onto the Feature row [U: featurehub/evaluation/future.py];
+    # here fte.evaluation.crossval_evaluate results land via
+    # record_metrics and ride out in to_metadata_df)
+    metrics: dict[str, dict] = field(default_factory=dict)
+
+    def record_metrics(self, name: str, result: dict) -> None:
+        """Attach a ``crossval_evaluate`` result to a registered
+        feature (A8 write-back). Raises on unknown features so a typo
+        can't silently orphan a score."""
+        if name not in self.features:
+            raise KeyError(f"unknown feature {name!r}")
+        self.metrics[name] = result
 
     def register(
         self,
@@ -111,14 +124,22 @@ class FeatureRegistry:
         return sorted(out, key=lambda s: s.name)
 
     def to_metadata_df(self, spark) -> DataFrame:
+        import json as _json
+
         rows = [
-            (s.name, list(s.outputs), s.description, s.author, s.leaky, s.code_hash, list(s.tags))
+            (
+                s.name, list(s.outputs), s.description, s.author, s.leaky,
+                s.code_hash, list(s.tags),
+                _json.dumps(self.metrics[s.name], sort_keys=True)
+                if s.name in self.metrics else None,
+            )
             for s in sorted(self.features.values(), key=lambda s: s.name)
         ]
         return spark.createDataFrame(
             rows,
             "name string, outputs array<string>, description string, "
-            "author string, leaky boolean, code_hash string, tags array<string>",
+            "author string, leaky boolean, code_hash string, tags array<string>, "
+            "cv_metrics string",
         )
 
     def validate(self, spec: FeatureSpec, df: DataFrame, keys=("conv_id", "turn_idx")) -> DataFrame:

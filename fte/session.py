@@ -83,6 +83,60 @@ class Session:
                 stats[c] = {r["summary"]: r[c] for r in rows}
         return {"ok": True, "new_columns": new_cols, "stats": stats}
 
+    def evaluate_cv(
+        self,
+        labels: DataFrame,
+        label_col: str = "y",
+        features=None,
+        n_folds: int = 5,
+        binary: bool = False,
+        fitter=None,
+        metric: str | None = None,
+    ) -> dict:
+        """The reference's submit → re-execute → METRIC loop
+        [U: featurehub/modeling/model.py::Model.compute_metrics_cv]:
+        build the serve-safe feature matrix, join ``labels`` on
+        (conv_id, turn_idx), then give EACH registered feature a
+        grouped-k-fold CV score (distributed closed-form ridge by
+        default; pass ``fitter`` to plug any model through the same
+        seam) and write it back into the registry
+        (``FeatureRegistry.record_metrics`` → ``to_metadata_df`` /
+        meta_dir). Returns {feature_name: crossval result} plus the
+        joint all-features model under "__all__".
+        """
+        from fte.evaluation import crossval_evaluate
+
+        names = list(features) if features is not None else sorted(
+            n for n, s in self.registry.features.items() if not s.leaky
+        )
+        mat = self.feature_matrix(features=names, serve=True, pack_vector=False)
+        m = mat.join(labels, ["conv_id", "turn_idx"]).localCheckpoint(eager=False)
+        numeric = {
+            c for c, t in m.dtypes
+            if t in ("int", "bigint", "double", "float", "smallint")
+        }
+        results = {}
+        for name in names:
+            spec = self.registry.get(name)
+            cols = [c for c in spec.outputs if c in numeric]
+            if not cols:
+                continue  # non-numeric feature (ids, strings): no model metric
+            res = crossval_evaluate(
+                m, cols, label_col, n_folds=n_folds, binary=binary, fitter=fitter
+            )
+            self.registry.record_metrics(name, res)
+            results[name] = res
+        all_cols = sorted({c for r in names for c in self.registry.get(r).outputs} & numeric)
+        if all_cols:
+            results["__all__"] = crossval_evaluate(
+                m, all_cols, label_col, n_folds=n_folds, binary=binary, fitter=fitter
+            )
+        if self.meta_dir:
+            d = Path(self.meta_dir)
+            d.mkdir(parents=True, exist_ok=True)
+            (d / "cv_metrics.json").write_text(json.dumps(results, sort_keys=True))
+        return results
+
     # ------------------------------------------------------ submission
 
     def submit(self, builder, description: str = "", outputs: tuple[str, ...] = (),

@@ -436,3 +436,49 @@ def test_segment_dedup_property_keep_first_occurrence(spark):
             .toPandas().set_index("doc_id")["text_dedup"].to_dict()
         )
         assert got == expect, f"seed={seed} seg_w={seg_w}"
+
+
+def test_duplicate_components_long_chain_pointer_doubling(spark):
+    """A 100-hop chain (diameter 100 — the templated-web-text shape)
+    must collapse to ONE component well inside the default round
+    budget: pointer doubling makes convergence O(log diameter), where
+    plain 1-hop min propagation needs ~100 rounds and used to exhaust
+    max_iter=20 SILENTLY, leaving several 'canonicals' per true
+    cluster."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(100)), "id_b": list(range(1, 101))}),
+        "id_a long, id_b long",
+    )
+    comp = duplicate_components(pairs, max_iter=12).toPandas()
+    assert set(comp["comp"]) == {0} and len(comp) == 101
+
+    from fte.operators.dedup import canonical_per_cluster
+
+    quality = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(101)), "q": [1] * 50 + [9] + [1] * 50}),
+        "doc_id long, q long",
+    )
+    out = canonical_per_cluster(quality, pairs, quality_col="q").toPandas()
+    assert int(out["is_canonical"].sum()) == 1  # exactly one survivor
+    assert set(out["canonical_id"]) == {50}  # the planted q=9 doc
+
+
+def test_duplicate_components_exhaustion_is_loud(spark):
+    """max_iter too small for the diameter -> RuntimeError by default,
+    RuntimeWarning with on_exhaust='warn' (never a silent partial
+    merge)."""
+    import warnings as _w
+
+    import pytest as _pt
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(40)), "id_b": list(range(1, 41))}),
+        "id_a long, id_b long",
+    )
+    with _pt.raises(RuntimeError, match="did not converge"):
+        duplicate_components(pairs, max_iter=1)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = duplicate_components(pairs, max_iter=1, on_exhaust="warn").toPandas()
+    assert any(issubclass(r.category, RuntimeWarning) for r in rec)
+    assert len(out) == 41  # labels still returned, just flagged partial

@@ -391,3 +391,62 @@ def test_minmax_and_robust_scale(spark):
     c = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1], "v": [5, 5]}))
     assert minmax_scale(c, ["v"]).toPandas()["v_mm"].isna().all()
     assert robust_scale(c, "v", exact=True).toPandas()["v_rz"].isna().all()
+
+
+def test_weighted_sample_large_weights_not_id_ordered(spark):
+    """r5 ADVICE regression: with raw 1/w exponents, char-count-sized
+    weights (1e5..1e7) compress every priority into 0.9999999xx and
+    the 9dp rounding collapses the top-n cut into id-ordered ties —
+    the sample degenerates to the n smallest ids. The max-normalized
+    exponent keeps boundary priorities O(1)-spread; selection must
+    NOT be the id prefix, must stay partitioning-deterministic, and
+    must still favor heavy items."""
+    from fte.operators.sampling import weighted_sample
+
+    n_rows, n = 2000, 100
+    rng = np.random.default_rng(47)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_rows, dtype=np.int64),
+            "w": rng.uniform(1e5, 1e7, n_rows).round(0),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = weighted_sample(df, "doc_id", "w", n=n).toPandas()
+    b = weighted_sample(df.repartition(11), "doc_id", "w", n=n).toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert len(a) == n
+    # the old fixed-decimal collapse selected exactly ids 0..n-1
+    assert sorted(a["doc_id"]) != list(range(n))
+    # priorities at the cut are spread: distinct values, not one tie
+    assert a["priority"].nunique() > n // 2
+    # inclusion still tracks weight: selected mean weight > corpus mean
+    assert a["w"].mean() > pdf["w"].mean()
+
+
+def test_oof_target_encode_all_null_fold_group(spark):
+    """r5 ADVICE regression: a (cat,fold) whose targets are ALL NULL
+    must still get the out-of-fold mean from the other folds (NULL
+    targets reduce the count, they don't NULL the encoding)."""
+    from fte.operators.encoding import oof_target_encode
+
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(6, dtype=np.int64),
+            "cat": ["a"] * 6,
+            "fold": [0, 0, 1, 1, 2, 2],
+            "y": [None, None, 2.0, 4.0, 6.0, 8.0],
+        }
+    )
+    df = spark.createDataFrame(pdf, "rid long, cat string, fold long, y double")
+    got = (
+        oof_target_encode(df, "cat", "y", "fold")
+        .select("rid", "fold", "oof_count", "oof_mean")
+        .toPandas().sort_values("rid").reset_index(drop=True)
+    )
+    # fold 0 rows: all 4 non-null targets are out-of-fold -> mean 5.0
+    f0 = got[got["fold"] == 0]
+    assert f0["oof_count"].tolist() == [4, 4]
+    assert np.allclose(f0["oof_mean"], 5.0)
+    # fold 1 rows: out-of-fold non-null = {6, 8} -> 7.0
+    assert np.allclose(got[got["fold"] == 1]["oof_mean"], 7.0)

@@ -1,0 +1,147 @@
+"""A8 evaluation harness: distributed closed-form CV model scoring.
+
+The reference's submit → re-execute → metric loop
+[U: featurehub/modeling/model.py] — fold assembly, one-pass normal-
+equation fits, codegen scoring, rank AUC, registry write-back."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fte.evaluation import (
+    binary_metrics,
+    crossval_evaluate,
+    fit_ridge,
+    rank_features,
+    regression_metrics,
+    ridge_fitter,
+)
+
+
+@pytest.fixture(scope="module")
+def lin_df(spark):
+    rng = np.random.default_rng(5)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i % 400}" for i in range(n)],
+            "x1": rng.normal(size=n),
+            "x2": rng.normal(size=n),
+        }
+    )
+    pdf["y"] = 2.0 * pdf.x1 - 3.0 * pdf.x2 + 1.0
+    pdf["y_noisy"] = pdf["y"] + rng.normal(scale=0.1, size=n)
+    return spark.createDataFrame(pdf).cache()
+
+
+def test_fit_ridge_recovers_exact_weights(spark, lin_df):
+    """Noise-free linear data -> the one-pass normal-equation fit
+    recovers (2, -3, 1) to solver precision, independent of
+    partitioning (sums are associative)."""
+    w = fit_ridge(lin_df, ["x1", "x2"], "y")
+    np.testing.assert_allclose(w, [2.0, -3.0, 1.0], atol=1e-6)
+    w2 = fit_ridge(lin_df.repartition(13), ["x1", "x2"], "y")
+    np.testing.assert_allclose(w, w2, atol=1e-9)
+
+
+def test_crossval_regression_metrics(spark, lin_df):
+    """CV on near-noise-free data: r2 ~ 1 per fold; metrics keys and
+    per-fold structure are as the registry expects."""
+    res = crossval_evaluate(lin_df, ["x1", "x2"], "y_noisy", n_folds=4)
+    assert len(res["folds"]) == 4
+    for m in res["folds"]:
+        assert m["r2"] > 0.99 and m["mse"] < 0.02
+    assert res["mean"]["r2"] > 0.99
+
+
+def test_regression_metrics_match_numpy(spark, lin_df):
+    scored = ridge_fitter()(lin_df, ["x1"], "y_noisy")(lin_df)
+    got = regression_metrics(scored, "y_noisy")
+    pdf = scored.select("_score", "y_noisy").toPandas()
+    e = pdf["_score"] - pdf["y_noisy"]
+    assert np.isclose(got["mse"], float((e**2).mean()), rtol=1e-9)
+    assert np.isclose(got["mae"], float(e.abs().mean()), rtol=1e-9)
+    sst = float(((pdf["y_noisy"] - pdf["y_noisy"].mean()) ** 2).sum())
+    assert np.isclose(got["r2"], 1.0 - float((e**2).sum()) / sst, rtol=1e-6)
+
+
+def test_binary_auc_matches_direct_mann_whitney(spark):
+    """Rank AUC (midranks) == direct numpy Mann-Whitney, including
+    ties in the score column."""
+    rng = np.random.default_rng(11)
+    n = 600
+    y = (rng.uniform(size=n) < 0.4).astype(float)
+    score = np.round(y * 0.3 + rng.uniform(size=n) * 0.7, 2)  # ties via rounding
+    df = spark.createDataFrame(
+        pd.DataFrame({"_score": score, "lab": y})
+    )
+    got = binary_metrics(df, "lab")
+    order = np.argsort(score, kind="mergesort")
+    ranks = np.empty(n)
+    sorted_scores = score[order]
+    i = 0
+    pos = 1
+    while i < n:
+        j = i
+        while j < n and sorted_scores[j] == sorted_scores[i]:
+            j += 1
+        ranks[order[i:j]] = (pos + (pos + j - i - 1)) / 2.0
+        pos += j - i
+        i = j
+    npos, nneg = int(y.sum()), int((1 - y).sum())
+    auc = (ranks[y == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+    assert np.isclose(got["auc"], auc, rtol=1e-12)
+    assert np.isclose(got["accuracy"], ((score >= 0.5) == y).mean(), rtol=1e-12)
+
+
+def test_rank_features_orders_by_planted_signal(spark, lin_df):
+    """A feature carrying the label's signal must outrank pure noise
+    — the FeatureHub leaderboard property."""
+    rng = np.random.default_rng(3)
+    df = lin_df.withColumn("noise", F.rand(7))
+    ranking = rank_features(df, ["x1", "noise"], "y_noisy", n_folds=3)
+    assert ranking[0]["feature"] == "x1"
+    assert ranking[0]["value"] > ranking[1]["value"] + 0.1
+    assert len(ranking[0]["folds"]) == 3
+
+
+def test_session_evaluate_cv_writes_registry_metrics(spark, transcripts_df, tmp_path):
+    """End-to-end A8 loop on the transcripts fixture: label planted on
+    text length -> the text-stats feature scores far above the
+    time-of-day feature; per-fold metrics land in the registry and in
+    to_metadata_df's cv_metrics column; meta_dir gets cv_metrics.json."""
+    import json
+
+    from fte.features.library import build_default_registry
+    from fte.session import Session
+
+    reg = build_default_registry()
+    sess = Session(
+        spark, transcripts_df, registry=reg, meta_dir=str(tmp_path / "meta")
+    )
+    labels = transcripts_df.select(
+        "conv_id",
+        "turn_idx",
+        (F.length("text").cast("double") * 0.01 + 3.0).alias("y"),
+    )
+    res = sess.evaluate_cv(
+        labels, features=["f_text_scalars", "f_time_of_day"], n_folds=3
+    )
+    assert res["f_text_scalars"]["mean"]["r2"] > 0.999  # textlen IS the label
+    assert res["f_text_scalars"]["mean"]["r2"] > res["f_time_of_day"]["mean"]["r2"] + 0.5
+    assert "__all__" in res
+    # registry write-back with per-fold granularity
+    assert len(reg.metrics["f_text_scalars"]["folds"]) == 3
+    md = reg.to_metadata_df(spark).toPandas().set_index("name")
+    stored = json.loads(md.loc["f_text_scalars", "cv_metrics"])
+    assert stored["mean"]["r2"] > 0.999
+    assert md.loc["f_session", "cv_metrics"] is None  # unevaluated stays null
+    assert json.loads((tmp_path / "meta" / "cv_metrics.json").read_text())
+
+
+def test_record_metrics_unknown_feature_raises(spark):
+    from fte.registry import FeatureRegistry
+
+    with pytest.raises(KeyError):
+        FeatureRegistry().record_metrics("nope", {"mean": {}})

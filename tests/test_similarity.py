@@ -260,6 +260,30 @@ def test_ivf_kmeans_improves_purity(spark, emb_df, emb_pdf):
     assert np.allclose(np.linalg.norm(Ck, axis=1), 1.0, atol=1e-9)
 
 
+def test_ivf_kmeans_driver_traffic_is_per_cell(spark, emb_df):
+    """The Lloyd recentering collect must be O(n_cells) rows (one
+    dim-length array per cell), NOT O(n_cells x dim) component rows —
+    at 2^16 cells x 1024 dims the per-component shape is ~67M driver
+    rows per iteration. Also checks each packed array is exactly dim
+    long and dim-ordered (mean of a single known cell)."""
+    from fte.operators.similarity import _ivf_assign, _kmeans_cell_means
+
+    dim = len(emb_df.select("embedding").first()[0])
+    C = np.eye(5, dim)[:5]
+    assigned = _ivf_assign(emb_df, C)
+    rows = _kmeans_cell_means(assigned, "embedding")
+    n_cells_used = assigned.select("ivf_cell").distinct().count()
+    assert len(rows) == n_cells_used  # one row per non-empty cell
+    got = {r["ivf_cell"]: np.asarray(r["_ms"]) for r in rows}
+    pdf = assigned.select("ivf_cell", "embedding").toPandas()
+    for cell, ms in got.items():
+        assert ms.shape == (dim,)
+        member = np.stack(
+            pdf.loc[pdf["ivf_cell"] == cell, "embedding"].map(np.asarray)
+        ).astype("float64")
+        np.testing.assert_allclose(ms, member.mean(axis=0), rtol=1e-12)
+
+
 def test_mean_pool_embeddings_matches_numpy(spark):
     """Distributed mean pooling == numpy mean over each group, with
     deterministic component order and correct group sizes."""
