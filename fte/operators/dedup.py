@@ -227,22 +227,7 @@ def minhash_lsh_pairs(
     sig = per_doc.select(id_col, "_sig")
 
     # candidate generation shuffles ONLY (id, band_hash) — no payload
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("_sig", b * r + j + 1) for j in range(r)])
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band"),
-    ).select(id_col, "_band.band_idx", "_band.band_hash")
+    banded = _band_rows(sig, id_col, num_hashes, bands)
 
     if max_bucket is not None:
         # bucket-size window shares the join's (band_idx, band_hash)
@@ -772,6 +757,149 @@ def fingerprint_index(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     and only APPENDED to as batches land; the corpus text is never
     re-read for dedup again."""
     return with_fingerprint(corpus, text_col).select("fingerprint").distinct()
+
+
+def minhash_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, _sig array<long>) MinHash signatures of the KEPT corpus —
+    the persisted NEAR-dup index (the companion of
+    ``fingerprint_index``'s exact index). At 100 TB this is ~256
+    bytes/doc (32 longs) written once as parquet and APPENDED to per
+    ingest batch; corpus text is never re-read or re-signed. Band
+    rows are NOT stored: banding is a pure projection of the
+    signature (``_band_rows``), so deriving them at read time costs
+    no shuffle and keeps the index 1 row/doc."""
+    return minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_k)
+
+
+def _band_rows(
+    sig_df: DataFrame, id_col: str, num_hashes: int, bands: int,
+    sig_col: str = "_sig",
+) -> DataFrame:
+    """(id, band_idx, band_hash) LSH band rows projected from stored
+    signatures — shuffle-free."""
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "bands must divide num_hashes"
+    return sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at(sig_col, b * r + j + 1) for j in range(r)])
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(id_col, "_band.band_idx", "_band.band_hash")
+
+
+def _sig_est_jaccard(num_hashes: int) -> Column:
+    """MinHash Jaccard estimate between ``_sig_a``/``_sig_b``:
+    positional component agreement. Unrolled to ``num_hashes`` static
+    equality terms (whole-stage codegen) — NOT a zip_with lambda,
+    which is interpreted per element."""
+    matches = sum(
+        (F.element_at("_sig_a", i + 1) == F.element_at("_sig_b", i + 1)).cast("int")
+        for i in range(num_hashes)
+    )
+    return (matches / F.lit(num_hashes)).cast("double")
+
+
+def incremental_neardup(
+    new_batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup dedup of a NEW ingest batch against a persisted
+    ``minhash_index`` AND within itself — the daily-ingest shape for
+    near-duplicates (``incremental_dedup`` is the exact-match twin).
+
+    Returns ``(kept, new_index_rows)``: the surviving batch docs, and
+    their signatures to APPEND to the index. Only the new batch is
+    ever shingled/signed; the corpus contributes signature rows (256
+    B/doc) alone, so a daily batch costs O(batch) + one band join
+    against the index — never a corpus re-sign. Idempotent: replaying
+    an already-appended batch matches itself in the index (est
+    Jaccard 1.0) and drops entirely.
+
+    Candidate generation is banded LSH both ways (batch×batch and
+    batch×index); verification is the SIGNATURE estimate (positional
+    agreement ≥ ``threshold``) — the incremental trade: the index
+    stores no shingle sets, so exact-Jaccard re-verification would
+    need corpus text. Estimate variance at 32 hashes is ~±0.08; size
+    ``threshold`` accordingly or raise ``num_hashes`` (the index
+    scales linearly). Exact duplicates (identical shingle sets) have
+    identical signatures, so est = 1.0 — cross-corpus exact dups are
+    always caught. ``max_bucket`` as in ``minhash_lsh_pairs``.
+
+    Within-batch survivors keep the min id per near-dup pair
+    (single-hop, matching ``minhash_lsh_dedup``); batch docs matching
+    the INDEX are dropped outright.
+    """
+    sig_new = minhash_signatures(
+        new_batch, id_col, text_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=False)  # consumed by 3 band joins + append
+    bn = _band_rows(sig_new, id_col, num_hashes, bands)
+    bi = _band_rows(index, id_col, num_hashes, bands)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band_idx", "band_hash")
+        bn = (
+            bn.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+        )
+        bi = (
+            bi.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+        )
+
+    sa = sig_new.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"))
+    sb = sig_new.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"))
+    si = index.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"))
+    est = _sig_est_jaccard(num_hashes)
+
+    # batch docs near-duplicating the INDEX: dropped outright
+    cross = (
+        bn.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+        .join(bi.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash"),
+              ["band_idx", "band_hash"])
+        .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+        .join(sa, "id_a").join(si, "id_b")
+        .filter(est >= threshold)
+        .select(F.col("id_a").alias(id_col)).distinct()
+    )
+    # within-batch near-dup pairs: min id wins (id_a < id_b drops id_b)
+    within_losers = (
+        bn.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+        .join(bn.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash"),
+              ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+        .join(sa, "id_a").join(sb, "id_b")
+        .filter(est >= threshold)
+        .select(F.col("id_b").alias(id_col)).distinct()
+    )
+    dropped = cross.union(within_losers).distinct()
+    kept = new_batch.join(dropped, id_col, "left_anti")
+    new_rows = sig_new.join(dropped, id_col, "left_anti")
+    return kept, new_rows
 
 
 def incremental_dedup(

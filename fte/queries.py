@@ -559,11 +559,13 @@ _DRIVER_WINDOW_FIRST = (
     "canonical_per_cluster", "shuffle_order", "emb_norms", "emb_neardup",
     "dup_components", "winnow_fp", "winnow_pairs", "hash_split",
     "pack_bins", "curation_funnel", "top_terms",
-    # 9 r4-green refill rows (approx_distinct kept in-window so its new
-    # value-checked gate lands in a driver file this round)
+    # refill rows: approx_distinct kept in-window so its new
+    # value-checked gate lands in a driver file this round, and the
+    # new incremental_neardup gate takes a slot (sft_render stays
+    # r4-green outside the window)
     "ewma", "approx_distinct", "quantile_sketch", "pandas_scalar",
-    "pandas_udaf_median", "training_pairs", "sft_render", "sft_spans",
-    "repetition_stats",
+    "pandas_udaf_median", "training_pairs", "incremental_neardup",
+    "sft_spans", "repetition_stats",
 )
 
 

@@ -123,6 +123,68 @@ def q_minhash_neardup(spark, sf_dir):
     )
 
 
+def q_incremental_neardup(spark, sf_dir):
+    """Daily-ingest NEAR-dup dedup against a persisted signature index
+    (fte/operators/dedup.py::incremental_neardup): corpus = doc_id%3≠0,
+    batch = the rest plus planted exact copies of corpus docs
+    (doc_id+200000). The oracle value-checks what SQL can reproduce —
+    batch size and the exact-cross-duplicate count (normalized-text
+    match) — and pins two behavioral booleans computed in Spark:
+    every exact cross-duplicate is dropped (identical shingle sets ⇒
+    identical signatures ⇒ est 1.0), and replaying the batch against
+    the appended index drops EVERYTHING (idempotence — the daily-
+    ingest contract). The signature estimates themselves are not
+    SQL-reproducible (same class as minhash_neardup)."""
+    from fte.operators.dedup import incremental_neardup, minhash_index
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    fresh = d.filter(F.col("doc_id") % 3 == 0)
+    planted = corpus.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    batch = fresh.unionByName(planted)
+    index = minhash_index(corpus).localCheckpoint(eager=False)
+    kept, new_rows = incremental_neardup(batch, index, threshold=0.5)
+    kept = kept.localCheckpoint(eager=False)
+    index2 = index.union(new_rows)
+    kept2, _ = incremental_neardup(batch, index2, threshold=0.5)
+
+    norm = lambda c: F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))  # noqa: E731
+    cross = batch.withColumn("_n", norm(F.col("text"))).join(
+        corpus.select(norm(F.col("text")).alias("_n")).distinct(), "_n", "left_semi"
+    )
+    nb = batch.agg(F.count("*").cast("long").alias("n_batch"))
+    nx = cross.agg(F.count("*").cast("long").alias("n_exact_cross"))
+    nxk = cross.join(kept, "doc_id", "left_semi").agg(
+        F.count("*").alias("_cross_kept")
+    )
+    nr = kept2.agg(F.count("*").alias("_replay_kept"))
+    return (
+        nb.crossJoin(nx).crossJoin(nxk).crossJoin(nr)
+        .select(
+            "n_batch", "n_exact_cross",
+            (F.col("_cross_kept") == 0).alias("exact_cross_dropped"),
+            (F.col("_replay_kept") == 0).alias("idempotent"),
+        )
+    )
+
+
+SQL_INCREMENTAL_NEARDUP = r"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+fresh AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+planted AS (SELECT doc_id + 200000 AS doc_id, text FROM corpus WHERE doc_id % 10 = 1),
+batch AS (SELECT * FROM fresh UNION ALL SELECT * FROM planted),
+cn AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS n FROM corpus)
+SELECT CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS n_batch,
+       CAST((SELECT COUNT(*) FROM batch b
+             WHERE lower(regexp_replace(trim(b.text), '\s+', ' ', 'g')) IN (SELECT n FROM cn)) AS BIGINT)
+         AS n_exact_cross,
+       true AS exact_cross_dropped,
+       true AS idempotent
+"""
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash hamming<=6 pairs (rows-only: the hash family is not
     SQL-reproducible). Candidate generation uses 7 pigeonhole blocks —
@@ -1105,6 +1167,7 @@ def catalog_ml():
         "doc_dedup_norm": (q_doc_dedup_norm, SQL_DOC_DEDUP_NORM),
         "ngram_neardup": (q_ngram_neardup, SQL_NGRAM_NEARDUP),
         "minhash_neardup": (q_minhash_neardup, None),
+        "incremental_neardup": (q_incremental_neardup, SQL_INCREMENTAL_NEARDUP),
         "simhash_neardup": (q_simhash_neardup, None),
         "token_stats": (q_token_stats, SQL_TOKEN_STATS),
         "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),

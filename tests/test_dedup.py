@@ -482,3 +482,59 @@ def test_duplicate_components_exhaustion_is_loud(spark):
         out = duplicate_components(pairs, max_iter=1, on_exhaust="warn").toPandas()
     assert any(issubclass(r.category, RuntimeWarning) for r in rec)
     assert len(out) == 41  # labels still returned, just flagged partial
+
+
+def test_incremental_neardup_daily_ingest(spark):
+    """The daily-ingest near-dup shape: a new batch is deduped against
+    the persisted signature index (exact copy AND one-word near-dup of
+    corpus docs dropped), within itself (min id of a new near-dup pair
+    survives), and appending the survivors' signatures makes replaying
+    the batch a no-op (idempotence)."""
+    from fte.operators.dedup import incremental_neardup, minhash_index
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(len(BASE_TEXTS)), "text": BASE_TEXTS}
+        ),
+        "doc_id long, text string",
+    )
+    index = minhash_index(corpus).localCheckpoint(eager=True)
+
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 101, 102, 103, 104],
+                "text": [
+                    BASE_TEXTS[0],                              # exact copy of corpus 0
+                    BASE_TEXTS[2].replace("engine", "system"),  # near-dup of corpus 2
+                    "fresh batch text about glacier melt rates and sea level measurements today",  # near-dup PAIR a
+                    "fresh batch text about glacier melt rates and sea level measurements yesterday",  # near-dup PAIR b
+                    "a wholly new document about orbital mechanics and launch windows",
+                ],
+            }
+        ),
+        "doc_id long, text string",
+    )
+    kept, new_rows = incremental_neardup(batch, index, bands=16, threshold=0.4)
+    kept_ids = set(kept.toPandas()["doc_id"])
+    assert 100 not in kept_ids          # exact cross-dup: est jaccard 1.0
+    assert 101 not in kept_ids          # near cross-dup
+    assert 102 in kept_ids and 103 not in kept_ids  # within-batch: min id wins
+    assert 104 in kept_ids              # unique survives
+    # appended index rows are exactly the survivors' signatures
+    appended = new_rows.toPandas()
+    assert set(appended["doc_id"]) == kept_ids
+    assert all(len(s) == 32 for s in appended["_sig"])
+
+    # idempotence: replay the same batch against the updated index
+    index2 = index.union(new_rows).localCheckpoint(eager=True)
+    kept2, new2 = incremental_neardup(batch, index2, bands=16, threshold=0.4)
+    assert kept2.count() == 0 and new2.count() == 0
+
+    # a fresh second batch is unaffected by the replayed noise
+    batch2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [200], "text": ["another genuinely novel text on tidal forces and moons"]}),
+        "doc_id long, text string",
+    )
+    k3, _ = incremental_neardup(batch2, index2, bands=16, threshold=0.4)
+    assert set(k3.toPandas()["doc_id"]) == {200}
