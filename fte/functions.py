@@ -18,6 +18,15 @@ def epoch_seconds(col: Column | str) -> Column:
     return c.cast("timestamp").cast("long")
 
 
+def epoch_micros(col: Column | str) -> Column:
+    """Timestamp → epoch microseconds (long) — the exact-precision twin
+    of epoch_seconds (parquet timestamp[us] is µs-precise; second
+    truncation would alias distinct turn times). Same NTZ handling and
+    UTC-session caveat; matches DuckDB's epoch_us()."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def decimal_sum(col: Column | str, scale: int = 6) -> Column:
     """Order-independent exact sum of a double column: cast each value
     to DECIMAL before summing so accumulation order can't change the

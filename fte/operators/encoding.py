@@ -447,3 +447,121 @@ def robust_scale(
     return out.withColumn(
         value_col + suffix, F.when(scale > 0, (x - F.col("_med")) / scale)
     ).drop("_med", "_mad")
+
+
+def count_encode(
+    df: DataFrame, cat_col: str, prefix: str = "ce"
+) -> DataFrame:
+    """Count / frequency encoding: each row gets its category's total
+    occurrence count and relative frequency — the cheapest useful
+    categorical encoder (no target needed, so no leakage question).
+
+    One hash aggregate over the category key (map-side combined,
+    |cats| rows) joined back; the join strategy is Spark's choice —
+    low-cardinality categoricals auto-broadcast, high-cardinality
+    keys shuffle on the corpus's own key (same reasoning as
+    oof_target_encode). ``{prefix}_freq`` = n_cat / n_total is a
+    ratio of exact BIGINTs → bit-identical across engines.
+    """
+    per_cat = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("_n_cat"))
+    total = df.select(F.count(F.lit(1)).alias("_n_tot"))
+    return (
+        df.join(per_cat, cat_col)
+        .crossJoin(F.broadcast(total))
+        .withColumn(f"{prefix}_count", F.col("_n_cat").cast("long"))
+        .withColumn(
+            f"{prefix}_freq",
+            F.col("_n_cat").cast("double") / F.col("_n_tot").cast("double"),
+        )
+        .drop("_n_cat", "_n_tot")
+    )
+
+
+def loo_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    prefix: str = "loo",
+) -> DataFrame:
+    """Leave-one-out target encoding — the row-granular limit of
+    ``oof_target_encode``: each row's encoding is the mean of
+    ``target_col`` over all OTHER rows of its category,
+    loo_mean = (Σ_cat − y_row) / (n_cat − 1).
+
+    Same complement-aggregate shape as OOF but the "fold" is the row
+    itself, so only the per-category aggregate is needed (one hash
+    agg + one join back — no second aggregate). Decimal subtraction
+    keeps Σ_cat − y exact before the single double division, so the
+    oracle can reproduce every value. A singleton category (n_cat=1)
+    and a NULL-target row both yield NULL (no other-row evidence /
+    undefined complement); NULL targets reduce the count like the
+    OOF coalesce rule.
+    """
+    d = F.col(target_col).cast("decimal(27,6)")
+    per_cat = df.groupBy(cat_col).agg(
+        F.sum(d).alias("_s_cat"),
+        F.count(target_col).alias("_n_cat"),
+    )
+    joined = df.join(per_cat, cat_col)
+    n_others = F.col("_n_cat") - F.when(F.col(target_col).isNotNull(), 1).otherwise(0)
+    return (
+        joined.withColumn(f"{prefix}_count", n_others.cast("long"))
+        .withColumn(
+            f"{prefix}_mean",
+            F.when(
+                (n_others > 0) & F.col(target_col).isNotNull(),
+                (F.coalesce(F.col("_s_cat"), F.lit(0).cast("decimal(27,6)")) - d)
+                .cast("double")
+                / n_others,
+            ),
+        )
+        .drop("_s_cat", "_n_cat")
+    )
+
+
+def woe_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col,
+    smoothing: float = 0.5,
+    prefix: str = "woe",
+) -> DataFrame:
+    """Weight-of-evidence encoding for a binary label: per category,
+    woe = ln( ((pos_c + s) / pos_tot) / ((neg_c + s) / neg_tot) )
+    with Laplace smoothing ``s`` so single-class categories stay
+    finite — the standard scorecard/credit-risk categorical encoder,
+    also the log-odds feature LLM data-curation classifiers use.
+
+    ``label_col`` is a Column (or name) that must evaluate to 0/1.
+    Returns ONE ROW PER CATEGORY: (cat, n, pos, neg, woe) — join back
+    onto rows if a per-row column is wanted (|cats| rows broadcast).
+    All count arithmetic is exact-integer; the single ln() is applied
+    to a ratio of bit-identical doubles, and ln is evaluated by the
+    same libm on both engines (established repo-wide by the
+    unigram-xent oracle family).
+
+    Scale: one hash aggregate over the category key + one 1-row total
+    aggregate broadcast back. No shuffle beyond the groupBy.
+    """
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    per_cat = df.groupBy(cat_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y.cast("long")).cast("long").alias("pos"),
+    )
+    per_cat = per_cat.withColumn("neg", (F.col("n") - F.col("pos")).cast("long"))
+    tot = per_cat.select(
+        F.sum("pos").cast("long").alias("_pos_tot"),
+        F.sum("neg").cast("long").alias("_neg_tot"),
+    )
+    s = F.lit(float(smoothing))
+    return (
+        per_cat.crossJoin(F.broadcast(tot))
+        .withColumn(
+            f"{prefix}",
+            F.log(
+                ((F.col("pos").cast("double") + s) / F.col("_pos_tot").cast("double"))
+                / ((F.col("neg").cast("double") + s) / F.col("_neg_tot").cast("double"))
+            ),
+        )
+        .drop("_pos_tot", "_neg_tot")
+    )

@@ -700,3 +700,247 @@ def mean_pool_embeddings(
     return agg.select(
         group_col, "n_vecs", F.col("_a").getField("m").alias(out_col)
     )
+
+
+# --------------------------------------- covariance / PCA / quantization
+
+def emb_covariance(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    dims: int | None = None, decimal_scale: int = 12,
+) -> DataFrame:
+    """Upper-triangle covariance matrix of an embedding column as
+    (i, j, n, cov) rows, i ≤ j — the input to PCA / whitening /
+    Mahalanobis, in an ORACLE-REPRODUCIBLE form.
+
+    Shape: posexplode to (id, i, x), self-join on id with j ≥ i, one
+    hash aggregate per (i, j). Per-pair sums accumulate in DECIMAL
+    (products at 2·scale digits) so they are exact and
+    order-independent; cov = Σxy/n − (Σx/n)(Σy/n) then runs on doubles
+    derived from identical operands on every engine.
+
+    This is the PARITY twin: the self-join shuffles N·d rows and emits
+    N·d(d+1)/2 pairs — fine for oracle runs and d ≤ ~100, wrong for
+    768-dim corpora. The scale path is ``emb_covariance_gemm`` (one
+    numpy X^T X per Arrow batch, d²-row partials, no self-join), which
+    is pytest-allclose-gated against this one.
+
+    ``dims`` optionally restricts to the first ``dims`` components
+    (slice pushdown before the explode — the d² blowup never happens).
+    """
+    v = F.col(vec_col)
+    if dims is not None:
+        v = F.slice(v, 1, dims)
+    ex = df.select(F.col(id_col).alias("_id"), F.posexplode(v).alias("_i", "_x"))
+    ex = ex.select("_id", "_i", F.col("_x").cast("double").alias("_x"))
+    right = ex.select(
+        F.col("_id").alias("_rid"), F.col("_i").alias("_j"), F.col("_x").alias("_y")
+    )
+    pairs = ex.join(right, (F.col("_id") == F.col("_rid")) & (F.col("_j") >= F.col("_i")))
+    dcast = f"decimal(38,{decimal_scale})"
+    pcast = f"decimal(38,{decimal_scale * 2})"
+    g = pairs.groupBy(F.col("_i").alias("i"), F.col("_j").alias("j")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_x").cast(dcast)).cast("double").alias("_sx"),
+        F.sum(F.col("_y").cast(dcast)).cast("double").alias("_sy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(pcast)).cast("double").alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return g.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "n",
+        (F.col("_sxy") / nd - (F.col("_sx") / nd) * (F.col("_sy") / nd)).alias("cov"),
+    )
+
+
+def emb_covariance_gemm(
+    df: DataFrame, vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path covariance: one numpy X^T X (plus Σx, n) per Arrow
+    batch, emitted as d² partial rows per batch, merged by one tiny
+    (i, j) hash aggregate. The corpus is read ONCE, nothing shuffles
+    except d²-row partials (d=768 → 590k tiny rows per partition —
+    kilobytes), no driver collect. Float64 partial sums differ from
+    the decimal-exact twin only in accumulation order; the pytest
+    gate asserts allclose against ``emb_covariance``."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("i", T.LongType()), T.StructField("j", T.LongType()),
+        T.StructField("_n", T.LongType()), T.StructField("_sx", T.DoubleType()),
+        T.StructField("_sy", T.DoubleType()), T.StructField("_sxy", T.DoubleType()),
+    ])
+
+    def partials(batches):
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index(vec_col))
+            lens = col.value_lengths().to_numpy(zero_copy_only=False)
+            if len(lens) == 0:
+                continue
+            d = int(lens[0])
+            X = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype("float64")
+                .reshape(-1, d)
+            )
+            n = X.shape[0]
+            sx = X.sum(axis=0)
+            xtx = X.T @ X
+            iu, ju = np.triu_indices(d)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(iu.astype("int64")),
+                    pa.array(ju.astype("int64")),
+                    pa.array(np.full(len(iu), n, dtype="int64")),
+                    pa.array(sx[iu]),
+                    pa.array(sx[ju]),
+                    pa.array(xtx[iu, ju]),
+                ],
+                schema=pa.schema([
+                    ("i", pa.int64()), ("j", pa.int64()), ("_n", pa.int64()),
+                    ("_sx", pa.float64()), ("_sy", pa.float64()), ("_sxy", pa.float64()),
+                ]),
+            )
+
+    part = df.select(vec_col).mapInArrow(partials, out_schema)
+    g = part.groupBy("i", "j").agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_sx").alias("_sx"),
+        F.sum("_sy").alias("_sy"),
+        F.sum("_sxy").alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return g.select(
+        "i", "j", "n",
+        (F.col("_sxy") / nd - (F.col("_sx") / nd) * (F.col("_sy") / nd)).alias("cov"),
+    )
+
+
+def pca_fit(cov_rows, d: int) -> tuple[np.ndarray, np.ndarray]:
+    """Eigendecomposition of a covariance matrix given as collected
+    (i, j, cov) upper-triangle rows (d² values — KILOBYTES on the
+    driver even at d=1024; the corpus itself never moves). Returns
+    (eigvals desc, components[k][d] row-major) with a deterministic
+    sign convention (largest-|loading| component ≥ 0, ties to the
+    lower index) so downstream projections are reproducible."""
+    S = np.zeros((d, d))
+    for r in cov_rows:
+        S[int(r["i"]), int(r["j"])] = r["cov"]
+        S[int(r["j"]), int(r["i"])] = r["cov"]
+    vals, vecs = np.linalg.eigh(S)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    for k in range(vecs.shape[1]):
+        idx = int(np.argmax(np.abs(vecs[:, k])))
+        if vecs[idx, k] < 0:
+            vecs[:, k] = -vecs[:, k]
+    return vals, vecs.T
+
+
+def pca_project(
+    df: DataFrame, components: np.ndarray, mean: np.ndarray,
+    vec_col: str = "embedding", out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto fitted components: one numpy GEMM per
+    Arrow batch against the broadcast (k × d) component matrix (same
+    execution shape as with_rh_signature — worker-side matrix, no
+    driver round-trip per batch). Appends array<double> of k scores."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    comp = np.asarray(components, dtype="float64")
+    mu = np.asarray(mean, dtype="float64")
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.DoubleType()), True)]
+    )
+
+    def project(batches):
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index(vec_col))
+            X = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype("float64")
+                .reshape(len(batch), -1)
+            )
+            P = (X - mu) @ comp.T
+            yield batch.append_column(out_col, pa.array(list(P), type=pa.list_(pa.float64())))
+
+    return df.mapInArrow(project, out_schema)
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    n_levels: int = 256,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-dimension scalar quantization (the int8 memory layout every
+    production ANN index uses — 4× smaller than float32, 8× than
+    float64): q = min(L−1, floor((x − min_d) · L / (max_d − min_d)))
+    − L/2, yielding levels in [−L/2, L/2).
+
+    floor, not round: round-half boundary conventions differ between
+    engines; floor is exact everywhere, so the quantized values — and
+    every integer dot product over them — are bit-reproducible and
+    fully SQL-oracle-checkable (no recall-only gate needed for the
+    quantization itself).
+
+    Returns (bounds, quantized):
+    - bounds: (i, mn, mx) per dimension — one tiny d-row aggregate.
+    - quantized: LONG-format (id, i, q:int) — the join/search-ready
+      shape (quant_knn consumes it directly); pack to array<tinyint>/
+      binary at the storage boundary. A constant dimension
+      (max == min) quantizes to level 0.
+
+    Shape: explode → broadcast d-row bounds back → pure codegen
+    arithmetic. One conv-free scan; the only Exchange is the d-row
+    bounds aggregate.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("i", "_x")
+    ).select("id", "i", F.col("_x").cast("double").alias("_x"))
+    bounds = ex.groupBy("i").agg(
+        F.min("_x").alias("mn"), F.max("_x").alias("mx")
+    )
+    L = F.lit(int(n_levels))
+    joined = ex.join(F.broadcast(bounds), "i")
+    q = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            L - 1,
+            F.floor((F.col("_x") - F.col("mn")) * L.cast("double") / (F.col("mx") - F.col("mn"))),
+        ),
+    ).otherwise(F.lit(0))
+    quant = joined.select(
+        "id", F.col("i").cast("long").alias("i"),
+        (q - L / F.lit(2)).cast("long").alias("q"),
+    )
+    return bounds.select(F.col("i").cast("long").alias("i"), "mn", "mx"), quant
+
+
+def quant_knn(
+    quant: DataFrame, query_q: DataFrame, k: int = 10,
+) -> DataFrame:
+    """Exact top-k under the QUANTIZED dot product: corpus and query in
+    long (id, i, q) form; the query's d rows broadcast-join on the
+    dimension index and integer products sum per corpus id. Integer
+    addition is exact and commutative, so the scores — unlike float
+    sims — are order-independent and the whole ranking is
+    SQL-oracle-checkable. Global top-k via orderBy+limit
+    (TakeOrderedAndProject), rank re-derived over the ≤k survivors.
+
+    Scale: one corpus scan, a broadcast of d query rows, one map-side
+    combined (id) aggregate, k-row merge. The quantized long format is
+    ~8 bytes/dim here for oracle parity; the storage layout at 100 TB
+    is the packed int8 array this operator's scores are defined over.
+    """
+    qq = query_q.select(F.col("i").alias("_qi"), F.col("q").alias("_qq"))
+    scored = (
+        quant.join(F.broadcast(qq), quant["i"] == F.col("_qi"))
+        .groupBy("id")
+        .agg(F.sum(F.col("q") * F.col("_qq")).cast("long").alias("qdot"))
+    )
+    top = scored.orderBy(F.col("qdot").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("qdot").desc(), F.col("id").asc())
+    return top.select("id", "qdot", F.row_number().over(w).cast("long").alias("rank"))

@@ -528,6 +528,7 @@ def catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str |
         "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_DEDUP),
         "knn_bruteforce": (q_knn_bruteforce, SQL_KNN),
     }
+    from fte.queries_analytics import catalog_analytics
     from fte.queries_extra import catalog_extra
     from fte.queries_fe import catalog_fe
     from fte.queries_pipeline import catalog_pipeline
@@ -536,6 +537,7 @@ def catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str |
     base.update(catalog_extra())
     base.update(catalog_pipeline())
     base.update(catalog_fe())
+    base.update(catalog_analytics())
     return _driver_window_order(base)
 
 
