@@ -82,6 +82,23 @@ EXTRA = [
     "sample_per_group",
     "minmax_scale",
     "robust_scale",
+    # round-5 additions (pca_variance is deliberately absent: its
+    # driver-side eigendecomposition makes the timing numpy-bound,
+    # not an engine measurement; emb_covariance times the same
+    # distributed reduction)
+    "role_transition",
+    "response_latency",
+    "turn_runs",
+    "count_encode",
+    "loo_target_encode",
+    "woe_encode",
+    "feature_corr",
+    "mutual_info",
+    "column_profile",
+    "emb_covariance",
+    "emb_quantize",
+    "quant_knn",
+    "incremental_neardup",
 ]
 
 # synthetic transcript scale per sf dir (turns ≈ n_convs × ~15)
