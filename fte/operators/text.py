@@ -610,3 +610,40 @@ def bm25_topk_batch(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "n_hit_terms", "bm25")
     )
+
+
+def fuzzy_join(
+    corpus: DataFrame,
+    probes: DataFrame,
+    corpus_text: str = "text",
+    probe_text: str = "probe_text",
+    max_dist: int = 5,
+) -> DataFrame:
+    """Approximate string matching: join a (small, broadcastable) probe
+    set against the corpus on Levenshtein distance ≤ ``max_dist`` —
+    the entity-resolution / near-title-match primitive ("find the
+    corpus doc this slightly-mangled string came from").
+
+    Shape: broadcast nested-loop on the probe side (probes must be
+    broadcast-small — the realistic use: 10²–10⁴ reference strings vs
+    a 100 TB corpus) with a LENGTH-BAND prefilter
+    |len(a) − len(b)| ≤ max_dist evaluated BEFORE the O(len²)
+    levenshtein, so the quadratic DP runs only on length-plausible
+    pairs (edit distance is ≥ the length difference, so the band
+    never drops a true match). Spark 3.5+ evaluates the bounded
+    3-arg levenshtein with early-exit at the threshold. For probe
+    sets too large to broadcast, pre-bucket both sides by
+    (length-band, first-char) and shuffle-join the buckets instead.
+
+    Returns (probe columns…, corpus columns…, lev_dist long).
+    """
+    lb = F.length(F.col(corpus_text)) - F.length(F.col(probe_text))
+    # bounded levenshtein returns -1 when the distance EXCEEDS the
+    # threshold — gate on >= 0, not on <= max_dist (a -1 would pass)
+    bounded = F.levenshtein(F.col(corpus_text), F.col(probe_text), max_dist)
+    cond = (lb <= max_dist) & (-lb <= max_dist) & (bounded >= 0)
+    joined = corpus.join(F.broadcast(probes), cond)
+    return joined.withColumn(
+        "lev_dist",
+        F.levenshtein(F.col(corpus_text), F.col(probe_text)).cast("long"),
+    )

@@ -555,4 +555,154 @@ def catalog_analytics():
         "quant_knn": (q_quant_knn, SQL_QUANT_KNN),
         "quant_recall_vs_exact": (q_quant_recall_vs_exact, SQL_QUANT_RECALL),
         "pca_variance": (q_pca_variance, SQL_PCA_VARIANCE),
+        "funnel": (q_funnel, SQL_FUNNEL),
+        "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+        "autocorr": (q_autocorr, SQL_AUTOCORR),
+        "fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
     }
+
+
+# ---------------------------------------------------- behavior / fuzzy
+
+def q_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel per user (strictly-after
+    timestamps): sequential per-entity conditional MINs, all hashed on
+    the one user key."""
+    from fte.operators.behavior import funnel_conversion
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_conversion(e, steps=("view", "click", "purchase"))
+
+
+SQL_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0
+  FROM events GROUP BY 1
+), s1 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts > s0.t0 THEN e.ts END) AS t1
+  FROM events e JOIN s0 USING (user_id) GROUP BY 1
+), s2 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s1.t1 THEN e.ts END) AS t2
+  FROM events e JOIN s1 USING (user_id) GROUP BY 1
+), c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_ent,
+         CAST(COUNT(s0.t0) AS BIGINT) AS n0,
+         CAST(COUNT(s1.t1) AS BIGINT) AS n1,
+         CAST(COUNT(s2.t2) AS BIGINT) AS n2
+  FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+)
+SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name, n0 AS n_reached,
+       CAST(n0 AS DOUBLE) / CAST(n_ent AS DOUBLE) AS rate,
+       CASE WHEN n_ent > 0 THEN CAST(n0 AS DOUBLE) / CAST(n_ent AS DOUBLE) END AS step_rate
+FROM c
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'click', n1,
+       CAST(n1 AS DOUBLE) / CAST(n_ent AS DOUBLE),
+       CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) END
+FROM c
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'purchase', n2,
+       CAST(n2 AS DOUBLE) / CAST(n_ent AS DOUBLE),
+       CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+FROM c
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """First-event-date cohort grid with per-cell retention fractions
+    (events span 30 days → the grid is tiny after the distinct)."""
+    from fte.operators.behavior import cohort_retention
+
+    e = _t(spark, sf_dir, "events")
+    return cohort_retention(e)
+
+
+SQL_COHORT_RETENTION = """
+WITH d AS (SELECT user_id AS e, CAST(ts AS DATE) AS dt FROM events),
+f AS (SELECT e, MIN(dt) AS cohort FROM d GROUP BY 1),
+a AS (
+  SELECT DISTINCT d.e, f.cohort, date_diff('day', f.cohort, d.dt) AS off
+  FROM d JOIN f USING (e)
+), cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM f GROUP BY 1),
+g AS (SELECT cohort, off, CAST(COUNT(*) AS BIGINT) AS n_active FROM a GROUP BY 1, 2)
+SELECT g.cohort AS cohort_date, CAST(g.off AS BIGINT) AS day_offset,
+       g.n_active, cs.n_cohort,
+       CAST(g.n_active AS DOUBLE) / CAST(cs.n_cohort AS DOUBLE) AS retention
+FROM g JOIN cs USING (cohort)
+"""
+
+
+def q_autocorr(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of `value` (decimal-exact
+    component sums, same construction as feature_corr)."""
+    from fte.operators.behavior import autocorrelation
+
+    e = _t(spark, sf_dir, "events")
+    return autocorrelation(
+        e, "user_id", "value", order_cols=("ts", "event_id"), lag=1
+    )
+
+
+SQL_AUTOCORR = """
+WITH p AS (
+  SELECT user_id,
+         value AS xv,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS yv
+  FROM events
+), q AS (SELECT * FROM p WHERE yv IS NOT NULL AND xv IS NOT NULL),
+g AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(xv AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(yv AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(xv AS DECIMAL(38,6)) * CAST(yv AS DECIMAL(38,6))
+                   AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(xv AS DECIMAL(38,6)) * CAST(xv AS DECIMAL(38,6))
+                   AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(yv AS DECIMAL(38,6)) * CAST(yv AS DECIMAL(38,6))
+                   AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM q GROUP BY 1
+)
+SELECT user_id, n_pairs,
+       CASE WHEN n_pairs >= 3
+             AND (CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+               * (CAST(n_pairs AS DOUBLE) * syy - sy * sy) > 0
+            THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                      * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END AS acf
+FROM g
+"""
+
+
+def q_fuzzy_join(spark, sf_dir):
+    """Levenshtein fuzzy match: 40-char prefixes of five corpus docs,
+    mangled by vowel substitution ('a'→'@'), rejoined to the corpus at
+    distance ≤ 8 via the broadcast + length-band + bounded-levenshtein
+    plan. Deterministic probes derived from the corpus itself."""
+    from fte.operators.text import fuzzy_join
+
+    d = _t(spark, sf_dir, "documents")
+    probes = (
+        d.where(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.translate(F.substring("text", 1, 40), "a", "@").alias("probe_text"),
+        )
+    )
+    corpus = d.select("doc_id", F.substring("text", 1, 40).alias("prefix40"))
+    out = fuzzy_join(corpus, probes, corpus_text="prefix40", probe_text="probe_text", max_dist=8)
+    return out.select("probe_id", "doc_id", "lev_dist")
+
+
+SQL_FUZZY_JOIN = """
+WITH probes AS (
+  SELECT doc_id AS probe_id, replace(substr(text, 1, 40), 'a', '@') AS probe_text
+  FROM documents WHERE doc_id < 5
+), corpus AS (SELECT doc_id, substr(text, 1, 40) AS prefix40 FROM documents)
+SELECT p.probe_id, c.doc_id,
+       CAST(levenshtein(c.prefix40, p.probe_text) AS BIGINT) AS lev_dist
+FROM corpus c JOIN probes p
+  ON abs(length(c.prefix40) - length(p.probe_text)) <= 8
+ AND levenshtein(c.prefix40, p.probe_text) <= 8
+"""

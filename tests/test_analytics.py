@@ -304,3 +304,131 @@ def test_quantize_error_bound_and_knn(spark):
     query_q = quant.where(F.col("id") == 0).select("i", "q")
     got = {r["id"] for r in quant_knn(quant, query_q, k=10).collect()}
     assert len(exact_top & got) >= 8
+
+
+# --------------------------------------------------- behavior / fuzzy
+
+def test_funnel_conversion_planted(spark):
+    from datetime import datetime, timedelta
+
+    from fte.operators.behavior import funnel_conversion
+
+    base = datetime(2024, 1, 1)
+    t = lambda s: base + timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # u1 completes A->B->C in order
+        ("u1", "A", t(0)), ("u1", "B", t(1)), ("u1", "C", t(2)),
+        # u2 has B BEFORE A, then no later B: stops at A
+        ("u2", "B", t(0)), ("u2", "A", t(1)), ("u2", "C", t(2)),
+        # u3 reaches A, B; C only BEFORE B: stops at B
+        ("u3", "A", t(0)), ("u3", "C", t(1)), ("u3", "B", t(2)),
+        # u4 never does A
+        ("u4", "B", t(0)), ("u4", "C", t(1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    out = {
+        r["step_name"]: r
+        for r in funnel_conversion(df, steps=("A", "B", "C")).collect()
+    }
+    assert out["A"]["n_reached"] == 3          # u1, u2, u3
+    assert out["B"]["n_reached"] == 2          # u1, u3
+    assert out["C"]["n_reached"] == 1          # u1 only
+    assert out["A"]["rate"] == 0.75
+    assert out["C"]["step_rate"] == 0.5        # 1 of 2 B-reachers
+
+
+def test_cohort_retention_planted(spark):
+    from datetime import datetime, timedelta
+
+    from fte.operators.behavior import cohort_retention
+
+    d0 = datetime(2024, 1, 1, 9)
+    rows = []
+    # cohort day0: u1 active d0, d1, d3; u2 active d0 only
+    for u, days in [("u1", [0, 1, 3]), ("u2", [0])]:
+        rows += [(u, d0 + timedelta(days=k)) for k in days]
+    # cohort day1: u3 active d1, d2
+    rows += [("u3", d0 + timedelta(days=1)), ("u3", d0 + timedelta(days=2))]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {
+        (str(r["cohort_date"]), r["day_offset"]): r
+        for r in cohort_retention(df).collect()
+    }
+    assert out[("2024-01-01", 0)]["n_active"] == 2
+    assert out[("2024-01-01", 0)]["n_cohort"] == 2
+    assert out[("2024-01-01", 1)]["n_active"] == 1
+    assert out[("2024-01-01", 1)]["retention"] == 0.5
+    assert out[("2024-01-01", 3)]["n_active"] == 1
+    assert out[("2024-01-02", 1)]["n_active"] == 1
+    assert ("2024-01-01", 2) not in out  # nobody from cohort 0 on day 2
+
+
+def test_autocorrelation_matches_numpy(spark):
+    from datetime import datetime, timedelta
+
+    from fte.operators.behavior import autocorrelation
+
+    rng = np.random.default_rng(5)
+    base = datetime(2024, 1, 1)
+    rows, series = [], {}
+    for u in ["a", "b"]:
+        n = 50
+        x = np.cumsum(rng.standard_normal(n)).round(3)  # random walk: high ACF
+        series[u] = x
+        rows += [(u, i, base + timedelta(seconds=i), float(x[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, ts timestamp, value double")
+    out = {
+        r["user_id"]: r
+        for r in autocorrelation(df, "user_id", "value", ("ts", "event_id"), lag=1).collect()
+    }
+    for u, x in series.items():
+        exp = np.corrcoef(x[1:], x[:-1])[0, 1]
+        assert out[u]["n_pairs"] == len(x) - 1
+        assert np.isclose(out[u]["acf"], exp, atol=1e-6)
+        assert out[u]["acf"] > 0.5  # random walk is strongly autocorrelated
+
+
+def test_autocorrelation_short_series_null(spark):
+    from datetime import datetime, timedelta
+
+    from fte.operators.behavior import autocorrelation
+
+    base = datetime(2024, 1, 1)
+    rows = [("u", i, base + timedelta(seconds=i), float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, ts timestamp, value double")
+    (row,) = autocorrelation(df, "user_id", "value", ("ts", "event_id"), min_pairs=3).collect()
+    # only 2 pairs < min_pairs -> NULL
+    assert row["n_pairs"] == 2 and row["acf"] is None
+
+
+def test_fuzzy_join_planted(spark):
+    from fte.operators.text import fuzzy_join
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "completely different string"),
+         (3, "the quick brown fix")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "the quick brown f0x")], "probe_id long, probe_text string"
+    )
+    out = fuzzy_join(corpus, probes, corpus_text="text", max_dist=2).collect()
+    got = {(r["probe_id"], r["doc_id"]): r["lev_dist"] for r in out}
+    assert got[(100, 1)] == 1          # fox -> f0x: one substitution
+    assert got[(100, 3)] == 1          # fix -> f0x: one substitution
+    assert (100, 2) not in got         # length band + distance exclude
+
+
+def test_fuzzy_join_length_band_prunes(spark):
+    """A corpus string whose length differs by more than max_dist must
+    be excluded by the band even if levenshtein were never evaluated
+    (the bounded call also returns -1 — the gate must treat -1 as a
+    non-match, never as <= max_dist)."""
+    from fte.operators.text import fuzzy_join
+
+    corpus = spark.createDataFrame(
+        [(1, "abc"), (2, "abcdefghijklmnop")], "doc_id long, text string"
+    )
+    probes = spark.createDataFrame([(9, "abd")], "probe_id long, probe_text string")
+    out = fuzzy_join(corpus, probes, corpus_text="text", max_dist=1).collect()
+    assert {r["doc_id"] for r in out} == {1}
