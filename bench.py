@@ -99,6 +99,10 @@ EXTRA = [
     "emb_quantize",
     "quant_knn",
     "incremental_neardup",
+    "funnel",
+    "cohort_retention",
+    "autocorr",
+    "fuzzy_join",
 ]
 
 # synthetic transcript scale per sf dir (turns ≈ n_convs × ~15)

@@ -28,32 +28,32 @@ def funnel_conversion(
     (step BIGINT, step_name, n_reached, rate = n_reached / n_entities,
     step_rate = n_reached / previous step's n_reached).
 
-    Shape: k sequential per-entity conditional MIN aggregates, each
-    joined back on the entity key — all k aggregates and joins hash on
-    the SAME key, so Spark reuses one partitioning (ENSURE_REQUIREMENTS
-    inserts no extra Exchange after the first); the per-entity frame is
-    |entities| rows from aggregate one onward, so downstream passes
-    touch reduced data, not the corpus. The final step-count reduce is
-    k rows. No collect, no Python, no window over unpartitioned data.
+    Shape: the k sequential "first ts of step k strictly after step
+    k−1" scalars are CHAINED WINDOW AGGREGATES over the one entity
+    partition — s_k = min(ts where type=step_k ∧ ts > s_{k−1}) OVER
+    (PARTITION BY entity) — so the whole funnel costs exactly ONE
+    corpus Exchange on the entity key (the naive formulation, k
+    aggregate+join-back rounds, re-derives the full lineage per round:
+    measured 19 Exchanges for k=3 before this rewrite). The per-entity
+    reduction that follows is already partitioned (no new Exchange),
+    and the final step-count reduce is one row. No joins, no collect,
+    no Python.
     """
+    w = Window.partitionBy("_e")
     ent = df.select(
         F.col(entity_col).alias("_e"), F.col(type_col).alias("_t"),
         F.col(ts_col).alias("_ts"),
     )
-    # reached[k] frame: (_e, _s{k}) = first ts step k was reached
-    reached = ent.groupBy("_e").agg(
-        F.min(F.when(F.col("_t") == steps[0], F.col("_ts"))).alias("_s0")
-    )
-    for k in range(1, len(steps)):
-        step_ts = ent.join(reached.select("_e", f"_s{k-1}"), "_e").groupBy("_e").agg(
-            F.min(
-                F.when(
-                    (F.col("_t") == steps[k]) & (F.col("_ts") > F.col(f"_s{k-1}")),
-                    F.col("_ts"),
-                )
-            ).alias(f"_s{k}")
-        )
-        reached = reached.join(step_ts, "_e")
+    cols, prev = [], None
+    for k, name in enumerate(steps):
+        cond = F.col("_t") == name
+        if prev is not None:
+            cond = cond & (F.col("_ts") > F.col(prev))
+        ent = ent.withColumn(f"_s{k}", F.min(F.when(cond, F.col("_ts"))).over(w))
+        prev = f"_s{k}"
+        cols.append(prev)
+    # one row per entity (already partitioned by _e -> no new Exchange)
+    reached = ent.groupBy("_e").agg(*[F.max(c).alias(c) for c in cols])
     counts = reached.agg(
         F.count(F.lit(1)).cast("long").alias("_n_ent"),
         *[
@@ -61,11 +61,15 @@ def funnel_conversion(
             for k in range(len(steps))
         ],
     )
-    rows = []
+    # pivot the single counts row into per-step rows via inline(array
+    # of structs) — a UNION of per-step selects would re-execute the
+    # whole aggregate (and its corpus scan) once per branch: Spark has
+    # no cross-branch common-subexpression elimination
+    structs = []
     for k, name in enumerate(steps):
         prev = F.col("_n_ent") if k == 0 else F.col(f"_n{k-1}")
-        rows.append(
-            counts.select(
+        structs.append(
+            F.struct(
                 F.lit(k).cast("long").alias("step"),
                 F.lit(name).alias("step_name"),
                 F.col(f"_n{k}").alias("n_reached"),
@@ -75,10 +79,7 @@ def funnel_conversion(
                 ).alias("step_rate"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    return counts.select(F.inline(F.array(*structs)))
 
 
 def cohort_retention(

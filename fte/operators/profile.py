@@ -59,10 +59,13 @@ def column_profile(
         aggs += [F.min(c).alias(f"_smin_{c}"), F.max(c).alias(f"_smax_{c}")]
     one = df.agg(*aggs)
 
-    selects = []
+    # inline(array<struct>) pivots the single stats row into per-column
+    # rows in ONE plan — a union of per-column selects would re-execute
+    # the aggregate (and its full table scan) once per column
+    structs = []
     for c in numeric_cols:
-        selects.append(
-            one.select(
+        structs.append(
+            F.struct(
                 F.lit(c).alias("col_name"),
                 F.col("_n_rows").cast("long").alias("n_rows"),
                 F.col(f"_null_{c}").cast("long").alias("null_count"),
@@ -78,8 +81,8 @@ def column_profile(
             )
         )
     for c in string_cols:
-        selects.append(
-            one.select(
+        structs.append(
+            F.struct(
                 F.lit(c).alias("col_name"),
                 F.col("_n_rows").cast("long").alias("n_rows"),
                 F.col(f"_null_{c}").cast("long").alias("null_count"),
@@ -91,7 +94,4 @@ def column_profile(
                 F.col(f"_smax_{c}").alias("max_str"),
             )
         )
-    out = selects[0]
-    for s in selects[1:]:
-        out = out.unionByName(s)
-    return out
+    return one.select(F.inline(F.array(*structs)))

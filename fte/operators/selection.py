@@ -56,25 +56,25 @@ def pairwise_corr(
             F.sum((cy * cy).cast(pcast)).cast("double").alias(f"_syy_{tag}"),
         ]
     one = df.agg(*aggs)
-    selects = []
+    # inline(array<struct>) pivots the single component-sum row into
+    # pair rows in ONE plan — a union of per-pair selects would
+    # re-execute the aggregate (and its corpus scan) per branch
+    structs = []
     for x, y in pairs:
         tag = f"{x}__{y}"
         n = F.col(f"_n_{tag}").cast("double")
         sx, sy = F.col(f"_sx_{tag}"), F.col(f"_sy_{tag}")
         sxy, sxx, syy = F.col(f"_sxy_{tag}"), F.col(f"_sxx_{tag}"), F.col(f"_syy_{tag}")
         var_term = (n * sxx - sx * sx) * (n * syy - sy * sy)
-        selects.append(
-            one.select(
+        structs.append(
+            F.struct(
                 F.lit(x).alias("x_name"),
                 F.lit(y).alias("y_name"),
                 F.col(f"_n_{tag}").alias("n"),
                 F.when(var_term > 0, (n * sxy - sx * sy) / F.sqrt(var_term)).alias("r"),
             )
         )
-    out = selects[0]
-    for s in selects[1:]:
-        out = out.unionByName(s)
-    return out
+    return one.select(F.inline(F.array(*structs)))
 
 
 def mutual_info_cells(

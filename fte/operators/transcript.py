@@ -105,8 +105,10 @@ def turn_runs(
     per conversation, summarized per conversation.
 
     The run id is the classic difference of two row_numbers — global
-    position minus position within the role — so runs need only the one
-    (conv) window Exchange, no self-join. Returns one row per
+    position minus position within the role — so the corpus crosses
+    the wire once (the (conv) window Exchange both row_numbers share);
+    the two aggregates that follow re-hash only RUN rows (map-side
+    combined, ≤ one row per monologue), not turns. Returns one row per
     conversation: ``n_turns``, ``n_runs``, ``max_run`` (length of the
     longest monologue), ``max_run_role`` (role of that run; ties broken
     by earliest run start so the answer is deterministic).
