@@ -543,31 +543,33 @@ def catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str |
 
 # The driver's CORRECTNESS snapshot records only the FIRST 50 catalog
 # entries (dict insertion order).  Round-5 rotation (VERDICT r4 "Next
-# round" #1): the 12 r4 feature-eng additions (never driver-checked)
-# take positions 0-11, the 29 rows displaced from the r4 window fill
-# 12-40, and 9 r4-green rows refill 41-49.  After this round every
-# catalog query has a driver-green row in some CORRECTNESS_r*.json.
+# round" #1, extended to the r5 additions): positions 0-11 are the 12
+# r4 feature-eng queries (never driver-checked before r5), 12-30 the
+# 19 NEW r5 queries, 31-49 backfill rows that are already driver-green
+# in r01-r04 CORRECTNESS files.  After this round EVERY catalog query
+# — including all r5 additions — has a driver-green row in some
+# CORRECTNESS_r*.json (re-checking rows green in an earlier round's
+# file would waste the scarce window slots).
 _DRIVER_WINDOW_FIRST = (
     # 12 r4 feature-eng queries, never in a driver window before r5
     "target_encode", "quantile_bin", "feature_hash", "cv_folds",
     "temporal_split", "zscore", "drift_psi", "oof_target_encode",
     "weighted_sample", "sample_per_group", "minmax_scale", "robust_scale",
-    # 29 rows displaced from the r4 window (driver-green r01-r03)
-    "minhash_neardup", "simhash_neardup", "token_stats", "doc_quality",
-    "lang_id", "emb_top_pairs", "emb_top_pairs_gemm", "knn_batch",
-    "lsh_topk", "ivf_topk", "lsh_recall_vs_exact", "ivf_recall_vs_exact",
-    "minhash_recall_vs_exact", "simhash_recall_vs_exact", "segment_dedup",
-    "token_fertility", "ivf_knn_batch", "ivf_knn_recall_vs_exact",
-    "canonical_per_cluster", "shuffle_order", "emb_norms", "emb_neardup",
-    "dup_components", "winnow_fp", "winnow_pairs", "hash_split",
-    "pack_bins", "curation_funnel", "top_terms",
-    # refill rows: approx_distinct kept in-window so its new
-    # value-checked gate lands in a driver file this round, and the
-    # new incremental_neardup gate takes a slot (sft_render stays
-    # r4-green outside the window)
-    "ewma", "approx_distinct", "quantile_sketch", "pandas_scalar",
-    "pandas_udaf_median", "training_pairs", "incremental_neardup",
-    "sft_spans", "repetition_stats",
+    # 19 r5 additions, never in a driver window before r5
+    "incremental_neardup", "role_transition", "response_latency",
+    "turn_runs", "count_encode", "loo_target_encode", "woe_encode",
+    "feature_corr", "mutual_info", "column_profile", "emb_covariance",
+    "emb_quantize", "quant_knn", "quant_recall_vs_exact", "pca_variance",
+    "funnel", "cohort_retention", "autocorr", "fuzzy_join",
+    # 19 backfill rows (driver-green in r01-r04; approx_distinct kept
+    # in-window so its new value-checked gate replaces the r4
+    # rows-only record in a driver file)
+    "approx_distinct", "minhash_neardup", "simhash_neardup",
+    "doc_quality", "lang_id", "emb_top_pairs_gemm", "knn_batch",
+    "lsh_recall_vs_exact", "ivf_recall_vs_exact",
+    "minhash_recall_vs_exact", "segment_dedup", "token_fertility",
+    "canonical_per_cluster", "dup_components", "winnow_fp",
+    "hash_split", "pack_bins", "curation_funnel", "ewma",
 )
 
 

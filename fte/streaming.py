@@ -427,3 +427,80 @@ def run_available_now_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    steps: tuple[str, ...] = ("user", "assistant", "tool"),
+    entity_col: str = "conv_id",
+    type_col: str = "role",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of fte.operators.behavior.funnel_conversion:
+    per-entity ordered-funnel automaton. State per entity carries the
+    k "first ts step k was reached strictly after step k−1" scalars
+    (epoch µs); each micro-batch advances them by scanning the
+    entity's new events in (ts, …) order. Because s_{k−1}, once set,
+    IS the minimum the batch operator computes, a single in-order
+    pass sets every s_k to the batch value — parity holds whenever
+    arrival order respects event time per entity (append-only logs;
+    tested via sequential availableNow drains sharing one checkpoint,
+    including state recovery across the restart).
+
+    Emits one row per entity per trigger (update mode): the current
+    step timestamps plus ``steps_reached``. The batch-side funnel
+    counts are then a k-row aggregate over the latest row per entity —
+    exactly how a serve-time funnel dashboard consumes it.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = len(steps)
+    out_schema = T.StructType(
+        [T.StructField("entity", T.StringType())]
+        + [T.StructField(f"s{i}_us", T.LongType(), True) for i in range(k)]
+        + [T.StructField("steps_reached", T.LongType())]
+    )
+    state_schema = ", ".join(f"s{i} long" for i in range(k))
+
+    def step_fn(key, pdfs, state):
+        ss = list(state.get) if state.exists else [None] * k
+        for pdf in _whole_group(pdfs):
+            pdf = pdf.sort_values(["_ts_us", "_t"], kind="mergesort")
+            for ts_us, typ in zip(pdf["_ts_us"].to_numpy(), pdf["_t"].to_numpy()):
+                for i in range(k):
+                    if ss[i] is not None:
+                        continue
+                    prev_ok = i == 0 or (
+                        ss[i - 1] is not None and int(ts_us) > int(ss[i - 1])
+                    )
+                    if typ == steps[i] and prev_ok:
+                        ss[i] = int(ts_us)
+                    break  # only the first unreached stage can advance
+            reached = sum(1 for v in ss if v is not None)
+            yield pd.DataFrame(
+                {
+                    "entity": [key[0]],
+                    **{f"s{i}_us": pd.array([ss[i]], dtype="Int64") for i in range(k)},
+                    "steps_reached": [reached],
+                }
+            )
+        state.update(tuple(ss))
+
+    return (
+        stream.select(
+            F.col(entity_col).cast("string").alias("_e"),
+            F.col(type_col).alias("_t"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
+        )
+        .groupBy("_e")
+        .applyInPandasWithState(
+            step_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -292,7 +292,16 @@ bandwidth, so this proxy under-reports what separate executors get).
             "Gopher repetition gate over one document per conversation; "
             "unit = docs/sec.",
         )
-    out_md.write_text(md)
+    if out_md.exists():
+        # APPEND a new pair section — never clobber earlier rounds'
+        # tables and floor commentary (r5 lost the r4 narrative once)
+        section = md.split("|---|", 1)
+        table = "|---|" + section[1] if len(section) == 2 else md
+        with out_md.open("a") as f:
+            f.write(f"\n### Additional pair (appended by bench_scaling.py)\n\n"
+                    f"| level | cores | best wall (s) | median (s) | runs (s) | turns/sec (best) |\n{table}")
+    else:
+        out_md.write_text(md)
     return 0
 
 

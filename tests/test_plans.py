@@ -174,3 +174,64 @@ def test_encoding_operator_plan_shapes(spark, transcripts_df):
     plan = _plan(qb)
     assert _n_exchanges(plan) == 0, "bin assignment must not shuffle the data"
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def _n_scans(plan: str) -> int:
+    # a cached relation prints InMemoryTableScan AND its materialized
+    # child's LocalTableScan — count the outer node only in that case
+    n_mem = plan.count("InMemoryTableScan")
+    if n_mem:
+        return n_mem
+    return sum(
+        plan.count(tok)
+        for tok in ("FileScan", "Scan ExistingRDD", "LocalTableScan")
+    )
+
+
+def test_r5_operator_plan_shapes(spark, transcripts_df):
+    """Scale-shape gates for the round-5 operators: single scans, the
+    inline-pivot fan-outs (no per-branch re-aggregation), funnel's
+    one-Exchange chained-window form, count_encode's broadcast."""
+    from pyspark.sql import functions as F
+
+    from fte.operators.behavior import funnel_conversion
+    from fte.operators.encoding import count_encode
+    from fte.operators.profile import column_profile
+    from fte.operators.selection import pairwise_corr
+
+    # funnel: exactly one corpus Exchange (entity window), one scan —
+    # the aggregate+join formulation measured 19 Exchanges for k=3
+    fun = funnel_conversion(
+        transcripts_df, steps=("user", "assistant", "tool"),
+        entity_col="conv_id", type_col="role", ts_col="ts",
+    )
+    plan = _plan(fun)
+    assert _n_exchanges(plan) == 1, plan
+    assert _n_scans(plan) == 1
+
+    # pairwise_corr: ZERO hash exchanges (one partial+final aggregate
+    # pair over a single row), one scan for all pairs
+    feats = transcripts_df.select(
+        F.length("text").cast("long").alias("a"),
+        F.col("turn_idx").cast("long").alias("b"),
+    )
+    corr = pairwise_corr(feats, ["a", "b"], decimal_scale=0)
+    plan = _plan(corr)
+    assert _n_exchanges(plan) == 0, plan
+    assert _n_scans(plan) == 1
+
+    # column_profile: one scan feeds every column's stats
+    prof = column_profile(
+        transcripts_df, numeric_cols=("turn_idx",), string_cols=("role", "text")
+    )
+    plan = _plan(prof)
+    assert _n_scans(plan) == 1
+
+    # count_encode: per-category aggregate comes BACK as a broadcast —
+    # the corpus itself must not shuffle on the category key
+    ce = count_encode(transcripts_df, "role")
+    plan = _plan(ce)
+    assert "BroadcastHashJoin" in plan
+    corpus_shuffles = len(re.findall(r"Exchange hashpartitioning\(role", plan))
+    # the only role-keyed Exchange allowed is under the tiny aggregate
+    assert corpus_shuffles <= 1, plan

@@ -316,3 +316,81 @@ def test_streaming_target_encode_matches_batch(spark, transcripts_pdf, tmp_path)
     a, b = got["te_mean"].to_numpy(), batch["te_mean"].to_numpy()
     both_nan = np.isnan(a) & np.isnan(b)
     assert np.all(both_nan | np.isclose(a, b, rtol=1e-9, atol=1e-12))
+
+
+def test_streaming_funnel_matches_batch(spark, transcripts_pdf, tmp_path):
+    """Streaming per-conv funnel automaton == batch funnel_conversion,
+    including state crossing a restart: corpus split at the median ts
+    into two availableNow drains sharing one checkpoint; the second
+    drain resumes each conversation's step state. The latest emitted
+    row per conversation must carry exactly the batch operator's
+    first-reach timestamps."""
+    import pandas as pd
+
+    from fte.operators.behavior import funnel_conversion
+    from fte.streaming import (
+        run_available_now_to_parquet,
+        stream_transcripts,
+        streaming_funnel,
+    )
+
+    steps = ("user", "assistant", "tool")
+    pdf = transcripts_pdf.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+    cut = pdf["ts"].iloc[len(pdf) // 2]
+    early, late = pdf[pdf["ts"] <= cut], pdf[pdf["ts"] > cut]
+    assert len(early) and len(late)
+
+    src = str(tmp_path / "fn_src")
+    ckpt = str(tmp_path / "fn_ckpt")
+    out = str(tmp_path / "fn_out")
+    for part in (early, late):
+        (
+            spark.createDataFrame(part, schema=TRANSCRIPTS_SCHEMA)
+            .coalesce(1)
+            .write.mode("append").parquet(src)
+        )
+        run_available_now_to_parquet(
+            streaming_funnel(stream_transcripts(spark, src), steps=steps),
+            ckpt, out,
+        )
+    got = spark.read.parquet(out).toPandas()
+    # latest emitted row per conversation (highest batch_id)
+    got = (
+        got.sort_values("batch_id")
+        .groupby("entity", as_index=False)
+        .last()
+    )
+
+    # independent pandas reference for the per-entity first-reach times
+    exp = {}
+    us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    for conv, grp in pdf.assign(_us=us).groupby("conv_id"):
+        grp = grp.sort_values(["_us", "turn_idx"], kind="mergesort")
+        ss = [None] * len(steps)
+        for _, r in grp.iterrows():
+            for i in range(len(steps)):
+                if ss[i] is not None:
+                    continue
+                prev_ok = i == 0 or (ss[i - 1] is not None and r["_us"] > ss[i - 1])
+                if r["role"] == steps[i] and prev_ok:
+                    ss[i] = int(r["_us"])
+                break
+        exp[conv] = ss
+    assert set(got["entity"]) == set(exp)
+    for _, row in got.iterrows():
+        ss = exp[row["entity"]]
+        for i in range(len(steps)):
+            v = row[f"s{i}_us"]
+            assert (pd.isna(v) and ss[i] is None) or int(v) == ss[i]
+
+    # aggregate counts == batch funnel_conversion
+    batch = {
+        r["step_name"]: r["n_reached"]
+        for r in funnel_conversion(
+            spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS_SCHEMA),
+            steps=steps, entity_col="conv_id", type_col="role", ts_col="ts",
+        ).collect()
+    }
+    for i, name in enumerate(steps):
+        n_stream = int(got[f"s{i}_us"].notna().sum())
+        assert n_stream == batch[name]
