@@ -103,6 +103,7 @@ EXTRA = [
     "cohort_retention",
     "autocorr",
     "fuzzy_join",
+    "incremental_agg",
 ]
 
 # synthetic transcript scale per sf dir (turns ≈ n_convs × ~15)

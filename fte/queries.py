@@ -561,15 +561,16 @@ _DRIVER_WINDOW_FIRST = (
     "feature_corr", "mutual_info", "column_profile", "emb_covariance",
     "emb_quantize", "quant_knn", "quant_recall_vs_exact", "pca_variance",
     "funnel", "cohort_retention", "autocorr", "fuzzy_join",
-    # 19 backfill rows (driver-green in r01-r04; approx_distinct kept
+    # 18 backfill rows (driver-green in r01-r04; approx_distinct kept
     # in-window so its new value-checked gate replaces the r4
-    # rows-only record in a driver file)
+    # rows-only record in a driver file) + the late r5 addition
+    # incremental_agg in the final slot
     "approx_distinct", "minhash_neardup", "simhash_neardup",
     "doc_quality", "lang_id", "emb_top_pairs_gemm", "knn_batch",
     "lsh_recall_vs_exact", "ivf_recall_vs_exact",
     "minhash_recall_vs_exact", "segment_dedup", "token_fertility",
     "canonical_per_cluster", "dup_components", "winnow_fp",
-    "hash_split", "pack_bins", "curation_funnel", "ewma",
+    "hash_split", "pack_bins", "curation_funnel", "incremental_agg",
 )
 
 

@@ -559,6 +559,7 @@ def catalog_analytics():
         "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
         "autocorr": (q_autocorr, SQL_AUTOCORR),
         "fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
+        "incremental_agg": (q_incremental_agg, SQL_INCREMENTAL_AGG),
     }
 
 
@@ -705,4 +706,32 @@ SELECT p.probe_id, c.doc_id,
 FROM corpus c JOIN probes p
   ON abs(length(c.prefix40) - length(p.probe_text)) <= 8
  AND levenshtein(c.prefix40, p.probe_text) <= 8
+"""
+
+
+def q_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance: per-type stats built over the
+    first half-month of events, then MERGED with the second half's
+    batch state (fte/operators/incremental.py). Decimal sums make the
+    merge exact, so the result is bit-identical to the full-data
+    recompute — which is precisely what the full-scan oracle checks."""
+    from fte.operators.incremental import finalize_stats, merge_stats, stats_state
+
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("date")
+    old = stats_state(e.where(F.to_date("ts") < cutoff), ["event_type"], "value")
+    new = stats_state(e.where(F.to_date("ts") >= cutoff), ["event_type"], "value")
+    return finalize_stats(merge_stats(old, new))
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT event_type,
+       CAST(COUNT(value) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum,
+       MIN(CAST(value AS DOUBLE)) AS mn,
+       MAX(CAST(value AS DOUBLE)) AS mx,
+       CASE WHEN COUNT(value) > 0
+            THEN CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(value) AS DOUBLE) END AS mean
+FROM events GROUP BY event_type
 """

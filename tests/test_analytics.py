@@ -432,3 +432,71 @@ def test_fuzzy_join_length_band_prunes(spark):
     probes = spark.createDataFrame([(9, "abd")], "probe_id long, probe_text string")
     out = fuzzy_join(corpus, probes, corpus_text="text", max_dist=1).collect()
     assert {r["doc_id"] for r in out} == {1}
+
+
+# ----------------------------------------- incremental agg / io layout
+
+def test_incremental_agg_merge_equals_full(spark):
+    from fte.operators.incremental import finalize_stats, merge_stats, stats_state
+
+    df, pdf = _events_df(spark)
+    # split by id parity; merge of the two halves == full recompute
+    a = stats_state(df.where(F.col("id") % 2 == 0), ["cat"], "y")
+    b = stats_state(df.where(F.col("id") % 2 == 1), ["cat"], "y")
+    merged = finalize_stats(merge_stats(a, b)).toPandas().set_index("cat")
+    full = finalize_stats(stats_state(df, ["cat"], "y")).toPandas().set_index("cat")
+    assert set(merged.index) == set(full.index)
+    for cat in full.index:
+        for col in ["n", "sum", "mn", "mx", "mean"]:
+            m, f = merged.loc[cat, col], full.loc[cat, col]
+            assert (pd.isna(m) and pd.isna(f)) or m == f, (cat, col, m, f)
+    # chained merge (three-way) stays exact too
+    c = stats_state(df.where(F.col("id") % 3 == 0), ["cat"], "y")
+    d = stats_state(df.where(F.col("id") % 3 == 1), ["cat"], "y")
+    e = stats_state(df.where(F.col("id") % 3 == 2), ["cat"], "y")
+    m3 = finalize_stats(merge_stats(merge_stats(c, d), e)).toPandas().set_index("cat")
+    for cat in full.index:
+        assert m3.loc[cat, "sum"] == full.loc[cat, "sum"]
+
+
+def test_compact_parquet(spark, tmp_path):
+    from fte.io import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    before, after = compact_parquet(spark, src, dst, target_file_bytes=10**9)
+    assert before == 64 and after == 1
+    got = spark.read.parquet(dst)
+    assert got.count() == 10000
+    assert got.agg(F.sum("v")).head()[0] == df.agg(F.sum("v")).head()[0]
+
+
+def test_write_clustered_file_ranges_disjoint(spark, tmp_path):
+    """Range-clustered files must carry non-overlapping key ranges so
+    footer min/max stats alone answer point/range filters."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from fte.io import write_clustered
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(20000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("v")
+    )
+    write_clustered(df, path, cluster_cols=("k",), n_files=8)
+    ranges = []
+    for f in Path(path).rglob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file key ranges: {ranges}"
+    # and the data survives intact
+    assert spark.read.parquet(path).count() == 20000
