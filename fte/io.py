@@ -205,8 +205,10 @@ def compact_parquet(
     compaction IS a pipeline operator, not ops trivia.
 
     Sizing reads only FILE METADATA on the driver (a directory listing
-    — no data moves through it); the rewrite itself is one distributed
-    pass: scan → repartition(n) → write to ``dst``. The caller swaps
+    — no data moves through it; this offline impl walks a local path,
+    the cluster variant lists via the Hadoop FileSystem API — same
+    O(#files) driver cost either way); the rewrite itself is one
+    distributed pass: scan → repartition(n) → write to ``dst``. The caller swaps
     ``dst`` in atomically (rename / metastore pointer flip) so readers
     never see a half-compacted table; writing beside the source keeps
     the operation idempotent — a crashed compaction just reruns.

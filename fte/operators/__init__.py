@@ -8,6 +8,23 @@ for it.
 """
 
 from fte.operators.sessionize import sessionize
+from fte.operators.transcript import (
+    role_transitions,
+    response_latency,
+    turn_runs,
+)
+from fte.operators.behavior import (
+    funnel_conversion,
+    cohort_retention,
+    autocorrelation,
+)
+from fte.operators.selection import pairwise_corr, mutual_info_cells
+from fte.operators.profile import column_profile
+from fte.operators.incremental import (
+    stats_state,
+    merge_stats,
+    finalize_stats,
+)
 from fte.operators.windows import (
     with_lag_lead,
     with_backfill,
@@ -116,4 +133,16 @@ __all__ = [
     "asof_join",
     "asof_join_window",
     "asof_join_merge",
+    "role_transitions",
+    "response_latency",
+    "turn_runs",
+    "funnel_conversion",
+    "cohort_retention",
+    "autocorrelation",
+    "pairwise_corr",
+    "mutual_info_cells",
+    "column_profile",
+    "stats_state",
+    "merge_stats",
+    "finalize_stats",
 ]

@@ -465,8 +465,13 @@ def count_encode(
     """
     per_cat = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("_n_cat"))
     total = df.select(F.count(F.lit(1)).alias("_n_tot"))
+    # null-SAFE join back: groupBy keeps a NULL-category group, but a
+    # plain equi-join would silently DROP every NULL-category row on
+    # the way back (NULL != NULL) — missing is a category here
+    per_cat = per_cat.select(F.col(cat_col).alias("_cat"), "_n_cat")
     return (
-        df.join(per_cat, cat_col)
+        df.join(per_cat, F.col(cat_col).eqNullSafe(F.col("_cat")))
+        .drop("_cat")
         .crossJoin(F.broadcast(total))
         .withColumn(f"{prefix}_count", F.col("_n_cat").cast("long"))
         .withColumn(
@@ -502,7 +507,10 @@ def loo_target_encode(
         F.sum(d).alias("_s_cat"),
         F.count(target_col).alias("_n_cat"),
     )
-    joined = df.join(per_cat, cat_col)
+    # null-safe join back (see count_encode): NULL category is a
+    # category; a plain equi-join would drop those rows entirely
+    per_cat = per_cat.select(F.col(cat_col).alias("_cat"), "_s_cat", "_n_cat")
+    joined = df.join(per_cat, F.col(cat_col).eqNullSafe(F.col("_cat"))).drop("_cat")
     n_others = F.col("_n_cat") - F.when(F.col(target_col).isNotNull(), 1).otherwise(0)
     return (
         joined.withColumn(f"{prefix}_count", n_others.cast("long"))

@@ -34,6 +34,12 @@ def pairwise_corr(
     engine. NULLs in either column drop that row from that pair's
     sums (pairwise-complete, like pandas ``DataFrame.corr``).
 
+    Overflow policy: under Spark 4's default ANSI mode a value whose
+    square exceeds the DECIMAL(38) range THROWS (loud) rather than
+    silently skewing r — the same deliberate choice as
+    ``standardize``'s documented failure mode; pick ``decimal_scale``
+    so |x|² fits 38−2·scale integer digits for the data at hand.
+
     One aggregate computes ALL pairs' components (Catalyst shares the
     scan), then a literal-backed union pivots the single row into
     pair rows — no per-pair pass.

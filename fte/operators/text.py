@@ -635,7 +635,9 @@ def fuzzy_join(
     sets too large to broadcast, pre-bucket both sides by
     (length-band, first-char) and shuffle-join the buckets instead.
 
-    Returns (probe columns…, corpus columns…, lev_dist long).
+    Returns (probe columns…, corpus columns…, lev_dist long); the two
+    frames must not share column names (rename before calling — the
+    join would otherwise produce ambiguous output columns).
     """
     lb = F.length(F.col(corpus_text)) - F.length(F.col(probe_text))
     # bounded levenshtein returns -1 when the distance EXCEEDS the

@@ -500,3 +500,20 @@ def test_write_clustered_file_ranges_disjoint(spark, tmp_path):
         assert hi1 <= lo2, f"overlapping file key ranges: {ranges}"
     # and the data survives intact
     assert spark.read.parquet(path).count() == 20000
+
+
+def test_encoders_keep_null_category_rows(spark):
+    """A NULL category is a category: groupBy keeps the NULL group but
+    a plain equi-join back would drop those rows (NULL != NULL) — the
+    null-safe join must preserve them with their group's stats."""
+    from fte.operators.encoding import count_encode, loo_target_encode
+
+    rows = [(0, "a", 1.0), (1, "a", 3.0), (2, None, 5.0), (3, None, 7.0)]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    ce = count_encode(df, "cat").toPandas().set_index("id").sort_index()
+    assert len(ce) == 4
+    assert ce.loc[2, "ce_count"] == 2 and ce.loc[2, "ce_freq"] == 0.5
+    loo = loo_target_encode(df, "cat", "y").toPandas().set_index("id").sort_index()
+    assert len(loo) == 4
+    assert loo.loc[2, "loo_mean"] == 7.0  # the other NULL-cat row's y
+    assert loo.loc[3, "loo_mean"] == 5.0
