@@ -123,34 +123,91 @@ def regression_metrics(scored: DataFrame, label_col: str) -> dict:
     return {"n": row["n"], "mse": row["mse"], "mae": row["mae"], "r2": r2}
 
 
-def binary_metrics(scored: DataFrame, label_col: str) -> dict:
+def binary_metrics(
+    scored: DataFrame, label_col: str, exact: bool = True, n_bins: int = 65536
+) -> dict:
     """accuracy@0.5 and rank AUC (Mann-Whitney with midranks, exact
-    under ties). The only sort is the test fold's score order; the
-    rank-sum reduces in one aggregate."""
+    under ties).
+
+    ``exact=True`` ranks with an UNPARTITIONED window — the whole test
+    fold flows through one task, which is fine for the fold sizes CV
+    metrics are read at but is the single-task-sort shape this engine
+    bans in data paths (CLAUDE.md / global top-k rule). At scale pass
+    ``exact=False``: scores quantize onto ``n_bins`` equal-width bins
+    (min/max from one broadcast aggregate) and the Mann-Whitney
+    rank-sum is computed from the per-bin (n_pos, n_neg) histogram —
+    every step a map-side-combined aggregate over ≤ n_bins rows, no
+    global sort anywhere. Within-bin ties take the midrank, so the
+    binned AUC errs only where opposite-label scores share a bin:
+    |err| ≤ P(pair lands in same bin) ≤ 1/n_bins · (pairs at that
+    resolution) — at 2^16 bins the pytest holds it inside 1e-3 on
+    continuous scores.
+    """
     y = F.col(label_col).cast("double")
     acc = scored.agg(
         F.avg(((F.col("_score") >= 0.5).cast("double") == y).cast("double")).alias("acc")
     ).first()["acc"]
-    w_rank = Window.orderBy(F.col("_score"))
-    w_tie = Window.partitionBy(F.col("_score"))
-    ranked = scored.select(
+    if exact:
+        w_rank = Window.orderBy(F.col("_score"))
+        w_tie = Window.partitionBy(F.col("_score"))
+        ranked = scored.select(
+            y.alias("_y"),
+            (F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - F.lit(1)) / 2.0).alias(
+                "_midrank"
+            ),
+        )
+        row = ranked.agg(
+            F.sum(F.when(F.col("_y") == 1.0, F.col("_midrank"))).alias("_rpos"),
+            F.sum((F.col("_y") == 1.0).cast("long")).alias("_npos"),
+            F.sum((F.col("_y") == 0.0).cast("long")).alias("_nneg"),
+        ).first()
+        npos, nneg = row["_npos"] or 0, row["_nneg"] or 0
+        auc = (
+            ((row["_rpos"] or 0.0) - npos * (npos + 1) / 2.0) / (npos * nneg)
+            if npos and nneg
+            else float("nan")
+        )
+        return {"accuracy": acc, "auc": auc}
+    # binned scale path: histogram of (bin, n_pos, n_neg), then the
+    # U statistic from cumulative counts over <= n_bins rows
+    ext = scored.agg(
+        F.min("_score").alias("_mn"), F.max("_score").alias("_mx")
+    )
+    b = scored.crossJoin(F.broadcast(ext)).select(
         y.alias("_y"),
-        (F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - F.lit(1)) / 2.0).alias(
-            "_midrank"
-        ),
+        F.when(
+            F.col("_mx") > F.col("_mn"),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col("_score") - F.col("_mn"))
+                    * F.lit(float(n_bins))
+                    / (F.col("_mx") - F.col("_mn"))
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("_bin"),
     )
-    row = ranked.agg(
-        F.sum(F.when(F.col("_y") == 1.0, F.col("_midrank"))).alias("_rpos"),
-        F.sum((F.col("_y") == 1.0).cast("long")).alias("_npos"),
-        F.sum((F.col("_y") == 0.0).cast("long")).alias("_nneg"),
-    ).first()
-    npos, nneg = row["_npos"] or 0, row["_nneg"] or 0
-    auc = (
-        ((row["_rpos"] or 0.0) - npos * (npos + 1) / 2.0) / (npos * nneg)
-        if npos and nneg
-        else float("nan")
+    hist = (
+        b.groupBy("_bin")
+        .agg(
+            F.sum((F.col("_y") == 1.0).cast("long")).alias("np"),
+            F.sum((F.col("_y") == 0.0).cast("long")).alias("nn"),
+        )
+        .collect()
     )
-    return {"accuracy": acc, "auc": auc}
+    hist.sort(key=lambda r: r["_bin"])
+    npos = sum(r["np"] for r in hist)
+    nneg = sum(r["nn"] for r in hist)
+    if not (npos and nneg):
+        return {"accuracy": acc, "auc": float("nan")}
+    u = 0.0
+    neg_below = 0
+    for r in hist:
+        u += r["np"] * (neg_below + r["nn"] / 2.0)  # ties in bin: half credit
+        neg_below += r["nn"]
+    return {"accuracy": acc, "auc": u / (npos * nneg)}
 
 
 def crossval_evaluate(

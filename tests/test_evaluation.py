@@ -145,3 +145,25 @@ def test_record_metrics_unknown_feature_raises(spark):
 
     with pytest.raises(KeyError):
         FeatureRegistry().record_metrics("nope", {"mean": {}})
+
+
+def test_binned_auc_close_to_exact(spark):
+    """The scale path (histogram Mann-Whitney, no global sort) must
+    track the exact midrank AUC closely on continuous scores."""
+    import numpy as np
+
+    from fte.evaluation import binary_metrics
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    y = (rng.random(n) < 0.4).astype("float64")
+    # informative but noisy scores -> AUC well inside (0.5, 1)
+    s = y * 0.8 + rng.standard_normal(n) * 0.7
+    df = spark.createDataFrame(
+        [(float(si), float(yi)) for si, yi in zip(s, y)], "_score double, label double"
+    )
+    exact = binary_metrics(df, "label", exact=True)
+    binned = binary_metrics(df, "label", exact=False, n_bins=65536)
+    assert 0.6 < exact["auc"] < 0.95
+    assert abs(binned["auc"] - exact["auc"]) < 1e-3
+    assert binned["accuracy"] == exact["accuracy"]
