@@ -275,3 +275,53 @@ def rank_features(
         )
     out.sort(key=lambda r: r["value"], reverse=higher_is_better)
     return out
+
+
+def calibration_metrics(
+    scored: DataFrame, label_col: str, n_bins: int = 10
+) -> tuple[float, DataFrame]:
+    """Probability-calibration view of a scored binary fold: the Brier
+    score (one aggregate) plus the reliability table — per score-bin
+    (bin, n, mean_score, frac_pos), the data behind a calibration
+    curve. Scores are clamped to [0, 1] before binning (a linear
+    scorer can leave the interval). Everything is one
+    map-side-combined aggregate over ≤ n_bins keys."""
+    y = F.col(label_col).cast("double")
+    s = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("_score")))
+    brier = scored.agg(F.avg((s - y) * (s - y)).alias("b")).first()["b"]
+    binned = scored.select(
+        y.alias("_y"),
+        s.alias("_s"),
+        F.least(F.lit(n_bins - 1), F.floor(s * F.lit(float(n_bins)))).cast("long").alias("bin"),
+    )
+    table = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("_s").alias("mean_score"),
+        F.avg("_y").alias("frac_pos"),
+    )
+    return float(brier), table
+
+
+def sliced_metrics(
+    scored: DataFrame, label_col: str, slice_col: str
+) -> DataFrame:
+    """Per-slice regression metrics — the segment/fairness view of a
+    scored fold (metrics per language, per source, per user segment).
+    One grouped aggregate; |slices| output rows. r2 is NULL for a
+    zero-variance slice."""
+    y = F.col(label_col).cast("double")
+    e = F.col("_score") - y
+    g = scored.groupBy(F.col(slice_col).alias("slice")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(e * e).alias("mse"),
+        F.avg(F.abs(e)).alias("mae"),
+        F.sum(e * e).alias("_sse"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(y).alias("_sy"),
+    )
+    n = F.col("n").cast("double")
+    sst = F.col("_syy") - (F.col("_sy") * F.col("_sy")) / n
+    return g.select(
+        "slice", "n", "mse", "mae",
+        F.when(sst > 0, F.lit(1.0) - F.col("_sse") / sst).alias("r2"),
+    )

@@ -167,3 +167,55 @@ def test_binned_auc_close_to_exact(spark):
     assert 0.6 < exact["auc"] < 0.95
     assert abs(binned["auc"] - exact["auc"]) < 1e-3
     assert binned["accuracy"] == exact["accuracy"]
+
+
+def test_calibration_metrics(spark):
+    import numpy as np
+
+    from fte.evaluation import calibration_metrics
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    p = rng.random(n)
+    y = (rng.random(n) < p).astype("float64")  # perfectly calibrated scores
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(p, y)], "_score double, label double"
+    )
+    brier, table = calibration_metrics(df, "label", n_bins=10)
+    assert np.isclose(brier, float(np.mean((p - y) ** 2)))
+    rows = {r["bin"]: r for r in table.collect()}
+    assert set(rows) == set(range(10))
+    # calibrated: per-bin frac_pos tracks mean_score
+    for r in rows.values():
+        assert abs(r["frac_pos"] - r["mean_score"]) < 0.12
+
+
+def test_sliced_metrics_match_numpy(spark):
+    import numpy as np
+
+    from fte.evaluation import sliced_metrics
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for sl, bias in [("a", 0.0), ("b", 2.0)]:
+        y = rng.standard_normal(300)
+        s = y + bias + rng.standard_normal(300) * 0.1
+        rows += [(sl, float(si), float(yi)) for si, yi in zip(s, y)]
+    df = spark.createDataFrame(rows, "seg string, _score double, label double")
+    out = {r["slice"]: r for r in sliced_metrics(df, "label", "seg").collect()}
+    assert out["b"]["mse"] > out["a"]["mse"] + 3.0  # the biased slice surfaces
+    # numpy parity on one slice
+    y = np.array([r[2] for r in rows if r[0] == "a"])
+    s = np.array([r[1] for r in rows if r[0] == "a"])
+    assert np.isclose(out["a"]["mse"], np.mean((s - y) ** 2))
+    assert np.isclose(out["a"]["r2"], 1 - ((s - y) ** 2).sum() / ((y - y.mean()) ** 2).sum())
+
+
+def test_sliced_metrics_zero_variance_slice_null_r2(spark):
+    from fte.evaluation import sliced_metrics
+
+    df = spark.createDataFrame(
+        [("c", 1.0, 5.0), ("c", 2.0, 5.0)], "seg string, _score double, label double"
+    )
+    (row,) = sliced_metrics(df, "label", "seg").collect()
+    assert row["r2"] is None
