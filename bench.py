@@ -104,6 +104,7 @@ EXTRA = [
     "autocorr",
     "fuzzy_join",
     "incremental_agg",
+    "chi2_independence",
 ]
 
 # synthetic transcript scale per sf dir (turns ≈ n_convs × ~15)

@@ -127,3 +127,66 @@ def mutual_info_cells(
         / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
     )
     return enriched.withColumn("mi_term", term)
+
+
+def chi2_cells(
+    df: DataFrame,
+    bin_col,
+    label_col,
+) -> DataFrame:
+    """Chi-squared test-of-independence cells for a discrete feature ×
+    discrete label — the significance companion to
+    ``mutual_info_cells`` (MI measures strength; χ² calibrates it
+    against sample size). Emits per-cell rows (bin, y, n_xy, n_x, n_y,
+    n, expected, chi2_term) with expected = n_x·n_y/n and
+    chi2_term = (n_xy − expected)² / expected, so χ² = Σ chi2_term
+    with dof = (|bins|−1)(|labels|−1). Per-cell emission keeps every
+    hashed value derived from exact BIGINTs in a fixed expression —
+    the same cross-engine discipline as the MI operator, and the same
+    single (bin, y) hash-aggregate cost."""
+    from pyspark.sql import Window
+
+    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    observed = df.groupBy(b.alias("bin"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    # χ² is defined over the FULL bins × labels grid: a structurally
+    # empty cell still contributes (0 − expected)²/expected, so the
+    # observed-cells-only frame would understate the statistic
+    # (pytest: perfect 2×2 dependence reads 100 instead of n=200).
+    # The grid is |bins|·|labels| rows — tiny by construction.
+    grid = observed.select("bin").distinct().crossJoin(
+        observed.select("y").distinct()
+    )
+    obs = observed.select(
+        F.col("bin").alias("_ob"), F.col("y").alias("_oy"), "n_xy"
+    )
+    # null-safe match: a NULL bin/label is its own category here too
+    cells = grid.join(
+        obs,
+        F.col("bin").eqNullSafe(F.col("_ob")) & F.col("y").eqNullSafe(F.col("_oy")),
+        "left",
+    ).select(
+        "bin", "y", F.coalesce("n_xy", F.lit(0)).cast("long").alias("n_xy")
+    )
+    w_b = Window.partitionBy("bin")
+    w_y = Window.partitionBy("y")
+    w_all = Window.partitionBy()
+    e = cells.select(
+        "bin",
+        "y",
+        "n_xy",
+        F.sum("n_xy").over(w_b).cast("long").alias("n_x"),
+        F.sum("n_xy").over(w_y).cast("long").alias("n_y"),
+        F.sum("n_xy").over(w_all).cast("long").alias("n"),
+    )
+    expected = (
+        F.col("n_x").cast("double") * F.col("n_y").cast("double")
+    ) / F.col("n").cast("double")
+    diff = F.col("n_xy").cast("double") - expected
+    return e.select(
+        "bin", "y", "n_xy", "n_x", "n_y", "n",
+        expected.alias("expected"),
+        (diff * diff / expected).alias("chi2_term"),
+    )

@@ -570,7 +570,7 @@ _DRIVER_WINDOW_FIRST = (
     "lsh_recall_vs_exact", "ivf_recall_vs_exact",
     "minhash_recall_vs_exact", "segment_dedup", "token_fertility",
     "canonical_per_cluster", "dup_components", "winnow_fp",
-    "hash_split", "pack_bins", "curation_funnel", "incremental_agg",
+    "hash_split", "pack_bins", "chi2_independence", "incremental_agg",
 )
 
 

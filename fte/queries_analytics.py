@@ -560,6 +560,7 @@ def catalog_analytics():
         "autocorr": (q_autocorr, SQL_AUTOCORR),
         "fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
         "incremental_agg": (q_incremental_agg, SQL_INCREMENTAL_AGG),
+        "chi2_independence": (q_chi2, SQL_CHI2),
     }
 
 
@@ -734,4 +735,51 @@ SELECT event_type,
             THEN CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
                  / CAST(COUNT(value) AS DOUBLE) END AS mean
 FROM events GROUP BY event_type
+"""
+
+
+def q_chi2(spark, sf_dir):
+    """Chi-squared independence cells for the n_chars quartile bin vs
+    the lang='en' label — the significance twin of mutual_info over
+    the same contingency table."""
+    from fte.operators.encoding import quantile_bin
+    from fte.operators.selection import chi2_cells
+
+    d = _t(spark, sf_dir, "documents")
+    binned = quantile_bin(d, "n_chars", n_bins=4, exact=True)
+    return chi2_cells(
+        binned, F.col("bin").cast("long"), (F.col("lang") == "en").cast("long")
+    )
+
+
+SQL_CHI2 = """
+WITH b AS (
+  SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qb FROM documents
+), rows_b AS (
+  SELECT CAST((CASE WHEN d.n_chars > b.qb[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN d.n_chars > b.qb[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN d.n_chars > b.qb[3] THEN 1 ELSE 0 END) AS BIGINT) AS bin,
+         CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM documents d, b
+), observed AS (
+  SELECT bin, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM rows_b GROUP BY 1, 2
+), cells AS (
+  -- full bins x labels grid: empty cells still contribute to chi2
+  SELECT gb.bin, gy.y, CAST(COALESCE(o.n_xy, 0) AS BIGINT) AS n_xy
+  FROM (SELECT DISTINCT bin FROM observed) gb
+  CROSS JOIN (SELECT DISTINCT y FROM observed) gy
+  LEFT JOIN observed o ON o.bin = gb.bin AND o.y = gy.y
+), e AS (
+  SELECT bin, y, n_xy,
+         CAST(SUM(n_xy) OVER (PARTITION BY bin) AS BIGINT) AS n_x,
+         CAST(SUM(n_xy) OVER (PARTITION BY y) AS BIGINT) AS n_y,
+         CAST(SUM(n_xy) OVER () AS BIGINT) AS n
+  FROM cells
+)
+SELECT bin, y, n_xy, n_x, n_y, n,
+       (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)) / CAST(n AS DOUBLE) AS expected,
+       ((CAST(n_xy AS DOUBLE) - (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)) / CAST(n AS DOUBLE))
+        * (CAST(n_xy AS DOUBLE) - (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)) / CAST(n AS DOUBLE)))
+       / ((CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)) / CAST(n AS DOUBLE)) AS chi2_term
+FROM e
 """

@@ -517,3 +517,22 @@ def test_encoders_keep_null_category_rows(spark):
     assert len(loo) == 4
     assert loo.loc[2, "loo_mean"] == 7.0  # the other NULL-cat row's y
     assert loo.loc[3, "loo_mean"] == 5.0
+
+
+def test_chi2_cells_matches_closed_form(spark):
+    from fte.operators.selection import chi2_cells
+
+    # perfectly dependent 2x2 with 100 rows per diagonal cell:
+    # chi2 = n = 200, each cell's term = 50
+    rows = [(i, i % 2, i % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, bin long, y long")
+    cells = chi2_cells(df, "bin", "y").collect()
+    chi2 = sum(r["chi2_term"] for r in cells)
+    assert np.isclose(chi2, 200.0)
+    for r in cells:
+        assert np.isclose(r["expected"], 50.0)
+    # independence -> chi2 ~ 0
+    rows = [(i, i % 2, (i // 2) % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, bin long, y long")
+    chi2 = sum(r["chi2_term"] for r in chi2_cells(df, "bin", "y").collect())
+    assert abs(chi2) < 1e-9
