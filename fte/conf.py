@@ -39,6 +39,12 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Joins: sort-merge preference deliberately KEPT at default (r6
+    # measured preferSortMergeJoin=false + AQE SMJ→SHJ rewrite: the
+    # lineitem⨝orders join gained only ~0.2 s while the LSH band
+    # self-joins — duplicate-heavy keys, byte-small partitions that
+    # always pass the local-map threshold — lost 4-6 s to hash-map
+    # builds over giant buckets; see OPTIMIZATION_r06.md).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # fat text rows: cap Arrow batch size so pandas-UDF workers stay
     # within memory at 20kB/row x batch

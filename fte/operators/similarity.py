@@ -712,17 +712,23 @@ def emb_covariance(
     (i, j, n, cov) rows, i ≤ j — the input to PCA / whitening /
     Mahalanobis, in an ORACLE-REPRODUCIBLE form.
 
-    Shape: posexplode to (id, i, x), self-join on id with j ≥ i, one
-    hash aggregate per (i, j). Per-pair sums accumulate in DECIMAL
-    (products at 2·scale digits) so they are exact and
-    order-independent; cov = Σxy/n − (Σx/n)(Σy/n) then runs on doubles
-    derived from identical operands on every engine.
+    Shape (round-6 rewrite): two chained posexplodes — (i, x_i) from
+    the sliced vector, then (j, x_j) from its tail slice starting at i
+    — generate the same (i ≤ j) pair rows the old explode+self-join
+    produced, but entirely scan-side (codegen Generate nodes, ZERO
+    data shuffle: the old SortMergeJoin shuffled N·d rows twice and
+    was the single most expensive bench query at the driver's sf1.0,
+    11.1 s). The only exchange left is the ≤ d(d+1)/2-row partial-
+    aggregate merge. Per-pair sums accumulate in DECIMAL (products at
+    2·scale digits) so they are exact and order-independent — the
+    rewrite is bit-identical to the join formulation, pair set
+    included (row (i, j) exists iff the vector has ≥ j+1 elements,
+    exactly the join's explode×explode membership).
 
-    This is the PARITY twin: the self-join shuffles N·d rows and emits
-    N·d(d+1)/2 pairs — fine for oracle runs and d ≤ ~100, wrong for
-    768-dim corpora. The scale path is ``emb_covariance_gemm`` (one
-    numpy X^T X per Arrow batch, d²-row partials, no self-join), which
-    is pytest-allclose-gated against this one.
+    This is the PARITY twin for oracle runs and d ≤ ~100; the
+    768-dim-scale path is still ``emb_covariance_gemm`` (one numpy
+    X^T X per Arrow batch, d²-row partials), pytest-allclose-gated
+    against this one.
 
     ``dims`` optionally restricts to the first ``dims`` components
     (slice pushdown before the explode — the d² blowup never happens).
@@ -730,12 +736,20 @@ def emb_covariance(
     v = F.col(vec_col)
     if dims is not None:
         v = F.slice(v, 1, dims)
-    ex = df.select(F.col(id_col).alias("_id"), F.posexplode(v).alias("_i", "_x"))
-    ex = ex.select("_id", "_i", F.col("_x").cast("double").alias("_x"))
-    right = ex.select(
-        F.col("_id").alias("_rid"), F.col("_i").alias("_j"), F.col("_x").alias("_y")
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    e1 = base.select("_v", F.posexplode("_v").alias("_i", "_xi"))
+    pairs = e1.select(
+        "_i",
+        F.col("_xi").cast("double").alias("_x"),
+        F.posexplode(
+            F.slice(F.col("_v"), F.col("_i") + 1, F.size("_v") - F.col("_i"))
+        ).alias("_p", "_yj"),
+    ).select(
+        "_i",
+        (F.col("_i") + F.col("_p")).alias("_j"),
+        "_x",
+        F.col("_yj").cast("double").alias("_y"),
     )
-    pairs = ex.join(right, (F.col("_id") == F.col("_rid")) & (F.col("_j") >= F.col("_i")))
     dcast = f"decimal(38,{decimal_scale})"
     pcast = f"decimal(38,{decimal_scale * 2})"
     g = pairs.groupBy(F.col("_i").alias("i"), F.col("_j").alias("j")).agg(

@@ -26,7 +26,13 @@ EVENT_TYPES = ("click", "signup", "error", "view", "purchase")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # scan-spread (fte/scan.py): single-row-group local files otherwise
+    # plan ONE scan task; fact tables repartition by their entity key
+    # so scan-side compute parallelizes and the downstream keyed
+    # exchange is reused. No-op at oracle scales and on cluster scans.
+    from fte.scan import t_spread
+
+    return t_spread(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------- events
@@ -421,7 +427,12 @@ def q_doc_text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     txt = F.col("text")
     words = F.split(F.trim(txt), r"\s+")
-    stop = F.array([F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is")])
+    # stopword hits via ONE boundary-anchored regexp_count instead of
+    # the interpreted per-token HOF filter (~100µs/element — the
+    # fte/operators/text.py lang_id lesson): a match flanked by
+    # ^/whitespace/$ is exactly a full \s+-split token, so the count
+    # equals size(filter(words, w -> lower(w) IN stop)) bit-for-bit.
+    stop_pat = r"(?<=^|\s)(the|a|of|and|to|in|is)(?=\s|$)"
     return d.select(
         "doc_id",
         F.length(txt).alias("n_chars_actual"),
@@ -431,7 +442,7 @@ def q_doc_text_stats(spark, sf_dir):
             6,
         ).alias("punct_ratio"),
         F.round(
-            F.size(F.filter(words, lambda w: F.array_contains(stop, F.lower(w))))
+            F.regexp_count(F.lower(F.trim(txt)), F.lit(stop_pat))
             / F.greatest(F.size(words), F.lit(1)),
             6,
         ).alias("stopword_ratio"),

@@ -8,12 +8,18 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # scan-spread (fte/scan.py): single-row-group local files otherwise
+    # plan ONE scan task; fact tables repartition by their entity key
+    # so scan-side compute parallelizes and the downstream keyed
+    # exchange is reused. No-op at oracle scales and on cluster scans.
+    from fte.scan import t_spread
+
+    return t_spread(spark, sf_dir, name)
 
 
 # ------------------------------------------------------------ set ops
@@ -43,24 +49,33 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND ts < TIMESTAM
 def q_range_join(spark, sf_dir):
     """Non-equi interval join: for each purchase, count same-user
     events in the preceding 10 minutes (exclusive of the purchase
-    instant). Equi key (user_id) + range predicate → Spark plans a
-    sort-merge/broadcast join with the range as post-filter; at scale
-    the equi key keeps it out of BNLJ territory."""
+    instant).
+
+    Round-6 rewrite: the equi-key self-join (SMJ whose within-user
+    pair explosion then re-aggregated — two scans, join, agg; 4.9 s at
+    the driver's sf1.0) is replaced by ONE µs-exact RANGE window over
+    a single scan: frame [-600 s, -1 µs] ≡ the join predicate
+    ts ∈ [p_ts − 600 s, p_ts), count(*) over the frame ≡ the left-join
+    count (empty frame → 0, same-instant rows excluded on both
+    formulations, µs is the storage precision so no aliasing). One
+    user_id Exchange total, no pair explosion; bit-identical integer
+    output."""
+    from fte.functions import epoch_micros
+
     ev = _t(spark, sf_dir, "events")
-    p = ev.filter("event_type = 'purchase'").select(
-        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_micros("ts"))
+        .rangeBetween(-600_000_000, -1)
     )
-    e = ev.select("user_id", "ts")
-    joined = p.join(
-        e,
-        (F.col("p_user") == F.col("user_id"))
-        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 600 SECONDS"))
-        & (F.col("ts") < F.col("p_ts")),
-        "left",
-    )
-    return joined.groupBy("purchase_id", "p_user").agg(
-        F.sum(F.when(F.col("ts").isNotNull(), 1).otherwise(0)).cast("long").alias("n_prior_10m")
+    return (
+        ev.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("_n").cast("long").alias("n_prior_10m"),
+        )
     )
 
 

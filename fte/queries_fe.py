@@ -11,7 +11,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # scan-spread (fte/scan.py): single-row-group local files otherwise
+    # plan ONE scan task; fact tables repartition by their entity key
+    # so scan-side compute parallelizes and the downstream keyed
+    # exchange is reused. No-op at oracle scales and on cluster scans.
+    from fte.scan import t_spread
+
+    return t_spread(spark, sf_dir, name)
 
 
 def q_target_encode(spark, sf_dir):

@@ -258,6 +258,25 @@ def test_emb_covariance_matches_numpy(spark):
         assert np.isclose(r["cov"], C[r["i"], r["j"]], atol=1e-9)
 
 
+def test_emb_covariance_ragged_pair_membership(spark):
+    """r6 rewrite gate (self-join → chained posexplode): the (i, j)
+    pair row for a vector exists iff the vector has ≥ j+1 elements —
+    the explode×explode join's membership. On a ragged corpus n per
+    (i, j) must equal the count of vectors long enough for j, and the
+    sums must cover exactly those vectors."""
+    from fte.operators.similarity import emb_covariance
+
+    rows = [(0, [1.0, 2.0, 3.0]), (1, [4.0, 5.0]), (2, [6.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["i"], r["j"]): r for r in emb_covariance(df).collect()}
+    assert set(out) == {(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)}
+    assert out[(0, 0)]["n"] == 3 and out[(0, 1)]["n"] == 2
+    assert out[(1, 2)]["n"] == 1 and out[(2, 2)]["n"] == 1
+    # pair (0,1): vectors 0 and 1 → cov = E[xy] - E[x]E[y] over {(1,2),(4,5)}
+    exp = (1 * 2 + 4 * 5) / 2 - ((1 + 4) / 2) * ((2 + 5) / 2)
+    assert np.isclose(out[(0, 1)]["cov"], exp, atol=1e-9)
+
+
 def test_emb_covariance_gemm_allclose_exact(spark):
     from fte.operators.similarity import emb_covariance, emb_covariance_gemm
 
