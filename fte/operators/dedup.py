@@ -270,7 +270,13 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    cand_sets = candidate_shingle_sets(df, cand_ids, id_col, text_col, shingle_k)
+    # r6: the shingle-set aggregate is consumed TWICE (id_a and id_b
+    # sides); checkpoint it once — same intra-plan-reuse pattern as
+    # per_doc/cand above — so one action shingles candidates once,
+    # not twice (static plans showed both subtrees fully expanded).
+    cand_sets = candidate_shingle_sets(
+        df, cand_ids, id_col, text_col, shingle_k
+    ).localCheckpoint(eager=False)
     pa = cand_sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     pb = cand_sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     pairs = cand.join(sa, "id_a").join(sb, "id_b").join(pa, "id_a").join(pb, "id_b")
@@ -875,7 +881,11 @@ def incremental_neardup(
     si = index.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"))
     est = _sig_est_jaccard(num_hashes)
 
-    # batch docs near-duplicating the INDEX: dropped outright
+    # batch docs near-duplicating the INDEX: dropped outright.
+    # (r6 note: removing the pair-level dropDuplicates in favor of the
+    # final DISTINCT id was tried and measured 3x SLOWER on a dup-heavy
+    # corpus — the same pair colliding in several bands multiplies the
+    # signature joins; the dedup is a load-bearing row reducer, kept.)
     cross = (
         bn.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
         .join(bi.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash"),

@@ -25,14 +25,23 @@ from fte.operators.windows import dedup_turns, with_backfill
 EVENT_TYPES = ("click", "signup", "error", "view", "purchase")
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True,
+    min_bytes: int | None = None,
+) -> DataFrame:
     # scan-spread (fte/scan.py): single-row-group local files otherwise
     # plan ONE scan task; fact tables repartition by their entity key
     # so scan-side compute parallelizes and the downstream keyed
     # exchange is reused. No-op at oracle scales and on cluster scans.
-    from fte.scan import t_spread
+    # spread=False opts out for queries whose scan-side compute is
+    # trivial (metadata-only columns, brute dot products): for those
+    # the added exchange is pure tax (r6 same-window A/B, see
+    # OPTIMIZATION_r06.md).
+    from fte.scan import MIN_SPREAD_BYTES, t_spread
 
-    return t_spread(spark, sf_dir, name)
+    if not spread:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return t_spread(spark, sf_dir, name, min_bytes=min_bytes or MIN_SPREAD_BYTES)
 
 
 # ---------------------------------------------------------------- events
@@ -378,20 +387,33 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_revenue_by_segment(spark, sf_dir):
-    """3-way join: lineitem ⨝ orders ⨝ broadcast(customer)."""
+    """3-way join: lineitem ⨝ orders ⨝ broadcast(customer).
+
+    r6 (guide §2.3, aggregate before you shuffle): lineitem is first
+    reduced to per-order decimal partials (revenue sum + line count) —
+    the groupBy(l_orderkey) collapses onto the scan-spread exchange,
+    and the order join then moves ~4x fewer rows through the
+    sort-merge. Decimal sums are associative and exact, so
+    sum-of-order-partials per segment is bit-identical to the flat
+    per-line sum; n_lines is a sum of per-order counts. NULL order
+    keys drop at the inner join in both formulations."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("_rev"),
+        F.count("*").alias("_n"),
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
-            ).cast("double").alias("revenue"),
-            F.count("*").alias("n_lines"),
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.sum("_n").cast("long").alias("n_lines"),
         )
     )
 
@@ -490,7 +512,7 @@ def q_knn_bruteforce(spark, sf_dir):
     emb_top_pairs_gemm)."""
     from fte.operators.similarity import brute_force_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=False)
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
     return brute_force_topk(e, q, k=10).select(
         "vec_id", F.round("cos_sim", 6).alias("cos_sim"),

@@ -17,14 +17,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True,
+    min_bytes: int | None = None,
+) -> DataFrame:
     # scan-spread (fte/scan.py): single-row-group local files otherwise
     # plan ONE scan task; fact tables repartition by their entity key
     # so scan-side compute parallelizes and the downstream keyed
     # exchange is reused. No-op at oracle scales and on cluster scans.
-    from fte.scan import t_spread
+    # spread=False opts out for queries whose scan-side compute is
+    # trivial (metadata-only columns, brute dot products): for those
+    # the added exchange is pure tax (r6 same-window A/B, see
+    # OPTIMIZATION_r06.md).
+    from fte.scan import MIN_SPREAD_BYTES, t_spread
 
-    return t_spread(spark, sf_dir, name)
+    if not spread:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return t_spread(spark, sf_dir, name, min_bytes=min_bytes or MIN_SPREAD_BYTES)
 
 
 # ------------------------------------------------- transcript structure
@@ -135,7 +144,7 @@ def q_count_encode(spark, sf_dir):
     """Count/frequency encoding of event_type onto every event row."""
     from fte.operators.encoding import count_encode
 
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events", spread=False)
     return count_encode(e, "event_type").select(
         "event_id", "event_type", "ce_count", "ce_freq"
     )
@@ -187,7 +196,7 @@ def q_woe_encode(spark, sf_dir):
     are populated in every category). Laplace smoothing 0.5."""
     from fte.operators.encoding import woe_encode
 
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events", spread=False)
     return woe_encode(
         e, "event_type", (F.col("value") > 50), smoothing=0.5
     ).select("event_type", "n", "pos", "neg", "woe")
@@ -296,7 +305,7 @@ def q_mutual_info(spark, sf_dir):
     from fte.operators.encoding import quantile_bin
     from fte.operators.selection import mutual_info_cells
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     binned = quantile_bin(d, "n_chars", n_bins=4, exact=True)
     out = mutual_info_cells(
         binned,
@@ -339,7 +348,7 @@ def q_column_profile(spark, sf_dir):
     distincts here; approx=True is the 10^9-distinct scale path)."""
     from fte.operators.profile import column_profile
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", min_bytes=2 << 20)
     return column_profile(
         d, numeric_cols=("doc_id", "n_chars"), string_cols=("text", "lang", "source")
     )
@@ -751,7 +760,7 @@ def q_chi2(spark, sf_dir):
     from fte.operators.encoding import quantile_bin
     from fte.operators.selection import chi2_cells
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     binned = quantile_bin(d, "n_chars", n_bins=4, exact=True)
     return chi2_cells(
         binned, F.col("bin").cast("long"), (F.col("lang") == "en").cast("long")

@@ -12,14 +12,23 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True,
+    min_bytes: int | None = None,
+) -> DataFrame:
     # scan-spread (fte/scan.py): single-row-group local files otherwise
     # plan ONE scan task; fact tables repartition by their entity key
     # so scan-side compute parallelizes and the downstream keyed
     # exchange is reused. No-op at oracle scales and on cluster scans.
-    from fte.scan import t_spread
+    # spread=False opts out for queries whose scan-side compute is
+    # trivial (metadata-only columns, brute dot products): for those
+    # the added exchange is pure tax (r6 same-window A/B, see
+    # OPTIMIZATION_r06.md).
+    from fte.scan import MIN_SPREAD_BYTES, t_spread
 
-    return t_spread(spark, sf_dir, name)
+    if not spread:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return t_spread(spark, sf_dir, name, min_bytes=min_bytes or MIN_SPREAD_BYTES)
 
 
 # ------------------------------------------------------------ set ops

@@ -10,14 +10,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True,
+    min_bytes: int | None = None,
+) -> DataFrame:
     # scan-spread (fte/scan.py): single-row-group local files otherwise
     # plan ONE scan task; fact tables repartition by their entity key
     # so scan-side compute parallelizes and the downstream keyed
     # exchange is reused. No-op at oracle scales and on cluster scans.
-    from fte.scan import t_spread
+    # spread=False opts out for queries whose scan-side compute is
+    # trivial (metadata-only columns, brute dot products): for those
+    # the added exchange is pure tax (r6 same-window A/B, see
+    # OPTIMIZATION_r06.md).
+    from fte.scan import MIN_SPREAD_BYTES, t_spread
 
-    return t_spread(spark, sf_dir, name)
+    if not spread:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return t_spread(spark, sf_dir, name, min_bytes=min_bytes or MIN_SPREAD_BYTES)
 
 
 def q_target_encode(spark, sf_dir):
@@ -29,7 +38,7 @@ def q_target_encode(spark, sf_dir):
     FeatureHub-style user hand-writes, without its leakage foot-gun."""
     from fte.operators.encoding import target_encode
 
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events", spread=False)
     return target_encode(
         e, "event_type", "value", ["ts", "event_id"], smoothing=10.0, prior=0.5
     ).select("event_id", "event_type", "te_count", "te_mean", "te_smooth")
@@ -59,7 +68,7 @@ def q_quantile_bin(spark, sf_dir):
     (mergeable t-digest)."""
     from fte.operators.encoding import quantile_bin
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     return quantile_bin(d, "n_chars", n_bins=4, exact=True).select("doc_id", "bin")
 
 
@@ -127,7 +136,7 @@ def q_cv_folds(spark, sf_dir):
     shuffle."""
     from fte.operators.sampling import with_fold
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     return with_fold(d, "doc_id", n_folds=5).select("doc_id", "fold")
 
 
@@ -144,7 +153,7 @@ def q_temporal_split(spark, sf_dir):
     alternative to random splits when targets look into the future."""
     from fte.operators.sampling import temporal_split
 
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events", spread=False)
     return temporal_split(
         e, "ts", "2024-01-16 00:00:00", embargo_seconds=86400
     ).select("event_id", "tsplit")
@@ -165,7 +174,7 @@ def q_zscore(spark, sf_dir):
     across engines, unlike order-dependent stddev_samp)."""
     from fte.operators.encoding import standardize
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     return standardize(d, ["n_chars"]).select("doc_id", "n_chars_z")
 
 
@@ -193,7 +202,7 @@ def q_drift_psi(spark, sf_dir):
 
     from fte.operators.encoding import psi_report
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     ref = d.filter(F.col("doc_id") % 2 == 0)
     cur = d.filter(F.col("doc_id") % 2 == 1)
     return psi_report(ref, cur, "n_chars", n_bins=10, exact=True)
@@ -311,7 +320,7 @@ def q_weighted_sample(spark, sf_dir):
     plans as TakeOrderedAndProject."""
     from fte.operators.sampling import weighted_sample
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     return weighted_sample(d, "doc_id", "n_chars", n=50).select(
         "doc_id", "n_chars", "priority"
     )
@@ -342,7 +351,7 @@ def q_sample_per_group(spark, sf_dir):
     Bernoulli keep)."""
     from fte.operators.sampling import sample_per_group
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     return sample_per_group(d, "doc_id", "source", n_per_group=5).select(
         "doc_id", "source"
     )
@@ -369,7 +378,7 @@ def q_minmax_scale(spark, sf_dir):
     order)."""
     from fte.operators.encoding import minmax_scale
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     return minmax_scale(d, ["n_chars"]).select("doc_id", "n_chars_mm")
 
 
@@ -389,7 +398,7 @@ def q_robust_scale(spark, sf_dir):
     them."""
     from fte.operators.encoding import robust_scale
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     return robust_scale(d, "n_chars", exact=True).select("doc_id", "n_chars_rz")
 
 

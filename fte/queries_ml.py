@@ -33,21 +33,30 @@ from fte.operators.text import (
 )
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True,
+    min_bytes: int | None = None,
+) -> DataFrame:
     # scan-spread (fte/scan.py): single-row-group local files otherwise
     # plan ONE scan task; fact tables repartition by their entity key
     # so scan-side compute parallelizes and the downstream keyed
     # exchange is reused. No-op at oracle scales and on cluster scans.
-    from fte.scan import t_spread
+    # spread=False opts out for queries whose scan-side compute is
+    # trivial (metadata-only columns, brute dot products): for those
+    # the added exchange is pure tax (r6 same-window A/B, see
+    # OPTIMIZATION_r06.md).
+    from fte.scan import MIN_SPREAD_BYTES, t_spread
 
-    return t_spread(spark, sf_dir, name)
+    if not spread:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return t_spread(spark, sf_dir, name, min_bytes=min_bytes or MIN_SPREAD_BYTES)
 
 
 MUT_TAIL = " extra appended tail tokens for near duplicate testing"
 
 
-def _docs_with_mutants(spark, sf_dir) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+def _docs_with_mutants(spark, sf_dir, min_bytes: int | None = None) -> DataFrame:
+    d = _t(spark, sf_dir, "documents", min_bytes=min_bytes).select("doc_id", "text")
     mut = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(MUT_TAIL)).alias("text"),
@@ -143,7 +152,11 @@ def q_incremental_neardup(spark, sf_dir):
     SQL-reproducible (same class as minhash_neardup)."""
     from fte.operators.dedup import incremental_neardup, minhash_index
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread=False: the steady state of this query is text-normalize
+    # joins whose exchange keys are the normalized text itself — a
+    # spread exchange upstream just moves the fat strings twice (r6
+    # same-window A/B: 9.9 s spread vs 8.4 s unspread on the replica).
+    d = _t(spark, sf_dir, "documents", spread=False).select("doc_id", "text")
     corpus = d.filter(F.col("doc_id") % 3 != 0)
     fresh = d.filter(F.col("doc_id") % 3 == 0)
     planted = corpus.filter(F.col("doc_id") % 10 == 1).select(
@@ -830,7 +843,7 @@ FROM (
 
 def q_knn_batch(spark, sf_dir):
     """Exact top-5 neighbors for query vectors 0,1,2 (broadcast knn join)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=False)
     queries = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -903,7 +916,7 @@ def q_ivf_knn_batch(spark, sf_dir):
     batch knn is the oracle-checked ivf_knn_recall_vs_exact row)."""
     from fte.operators.similarity import ivf_knn_join
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=False)
     queries = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1025,7 +1038,9 @@ def q_segment_dedup(spark, sf_dir):
     segment string on both engines)."""
     from fte.operators.dedup import segment_dedup
 
-    d = _docs_with_mutants(spark, sf_dir)
+    # aggregate-bound token pipeline: the spread exchange amortizes
+    # only above ~2 MB of text (r6 sf0.1-vs-replica A/B)
+    d = _docs_with_mutants(spark, sf_dir, min_bytes=2 << 20)
     return segment_dedup(d, seg_words=16, hashed=False)
 
 

@@ -18,14 +18,23 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from fte.operators.pairs import make_training_pairs, render_conversations
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True,
+    min_bytes: int | None = None,
+) -> DataFrame:
     # scan-spread (fte/scan.py): single-row-group local files otherwise
     # plan ONE scan task; fact tables repartition by their entity key
     # so scan-side compute parallelizes and the downstream keyed
     # exchange is reused. No-op at oracle scales and on cluster scans.
-    from fte.scan import t_spread
+    # spread=False opts out for queries whose scan-side compute is
+    # trivial (metadata-only columns, brute dot products): for those
+    # the added exchange is pure tax (r6 same-window A/B, see
+    # OPTIMIZATION_r06.md).
+    from fte.scan import MIN_SPREAD_BYTES, t_spread
 
-    return t_spread(spark, sf_dir, name)
+    if not spread:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return t_spread(spark, sf_dir, name, min_bytes=min_bytes or MIN_SPREAD_BYTES)
 
 
 # ------------------------------------------------- training pairs
@@ -362,7 +371,7 @@ def q_bm25_batch(spark, sf_dir):
     pass (broadcast query-term table onto one corpus explode)."""
     from fte.operators.text import bm25_topk_batch
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", min_bytes=2 << 20)
     out = bm25_topk_batch(d, BM25_BATCH_QUERIES, k=5)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -432,7 +441,9 @@ def q_source_mix(spark, sf_dir):
     survives at any parallelism). Output: per-source survivor counts."""
     from fte.operators.sampling import sample_sources
 
-    d = _t(spark, sf_dir, "documents")
+    # spread=False: md5-uniform filter + tiny groupBy — no scan-side
+    # compute worth an exchange (r6 A/B)
+    d = _t(spark, sf_dir, "documents", spread=False)
     mixed = sample_sources(d, {"src0": 0.2, "src1": 0.6}, seed=42)
     return (
         mixed.groupBy("source")
@@ -641,7 +652,7 @@ def q_unigram_xent(spark, sf_dir):
     filter stand-in), value-checked to 6 decimals."""
     from fte.operators.text import unigram_logprob_scores
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", min_bytes=2 << 20)
     out = unigram_logprob_scores(d)
     return out.select(
         "doc_id", "n_words", F.round("xent", 6).alias("xent_r")

@@ -81,11 +81,24 @@ def _shuffle_parallelism(spark: SparkSession) -> int:
         return max(spark.sparkContext.defaultParallelism, 1)
 
 
-def spread(df: DataFrame, spark: SparkSession, path: str, *keys: str) -> DataFrame:
+def spread(
+    df: DataFrame, spark: SparkSession, path: str, *keys: str,
+    min_bytes: int = MIN_SPREAD_BYTES,
+) -> DataFrame:
     """Hash-repartition ``df`` by ``keys`` when its source scan would
-    underfill the session's parallelism; identity otherwise."""
+    underfill the session's parallelism; identity otherwise.
+
+    ``min_bytes`` is the break-even input volume below which the
+    exchange costs more than the parallelism buys. The default suits
+    pure-map compute (regex scoring: wins from ~0.5 MB of text up);
+    aggregate-bound token pipelines (multi-exchange explode+groupBy
+    chains) amortize the extra stage only above ~2 MB — their call
+    sites raise it (r6 same-window A/B at sf0.1 vs the x10 replica).
+    """
+    if os.environ.get("FTE_NO_SPREAD"):  # measurement A/B kill-switch
+        return df
     n_bytes = _local_size_bytes(path)
-    if n_bytes is None or n_bytes < MIN_SPREAD_BYTES:
+    if n_bytes is None or n_bytes < min_bytes:
         return df
     target = _shuffle_parallelism(spark)
     try:
@@ -100,7 +113,10 @@ def spread(df: DataFrame, spark: SparkSession, path: str, *keys: str) -> DataFra
     return df.repartition(target, *keys)
 
 
-def t_spread(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> DataFrame:
+def t_spread(
+    spark: SparkSession, sf_dir: str, name: str, *keys: str,
+    min_bytes: int = MIN_SPREAD_BYTES,
+) -> DataFrame:
     """Read ``{sf_dir}/{name}.parquet`` and spread it by the table's
     entity key (or explicit ``keys``). Tables with no registered key
     (broadcast-side dimensions) are returned unspread."""
@@ -109,4 +125,4 @@ def t_spread(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> DataFra
     use = keys or TABLE_KEYS.get(name)
     if not use:
         return df
-    return spread(df, spark, path, *use)
+    return spread(df, spark, path, *use, min_bytes=min_bytes)

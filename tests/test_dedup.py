@@ -164,13 +164,17 @@ def test_minhash_verify_aggregates_candidates_only(spark, docs_df):
     # and the aggregate genuinely never saw non-candidate docs
     non_cand = sets.join(cand_ids, "doc_id", "left_anti")
     assert non_cand.count() == 0
-    # verify path plan contains the left-semi doc filter
+    # the candidates-only subtree plans as a left-semi doc filter.
+    # (r6: minhash_lsh_pairs localCheckpoints the shingle-set aggregate
+    # — it is consumed on both pair sides — so the semi-join is no
+    # longer visible in the OUTER plan; assert it on the subtree that
+    # owns it, which is exactly the operator the pipeline routes
+    # through.)
     import contextlib, io
 
-    full = minhash_lsh_pairs(docs_df, num_hashes=32, bands=16, jaccard_threshold=0.5)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        full.explain("formatted")
+        candidate_shingle_sets(docs_df, cand_ids).explain("formatted")
     assert "LeftSemi" in buf.getvalue()
 
 
