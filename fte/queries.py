@@ -575,35 +575,41 @@ def catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str |
 
 
 # The driver's CORRECTNESS snapshot records only the FIRST 50 catalog
-# entries (dict insertion order).  Round-5 rotation (VERDICT r4 "Next
-# round" #1, extended to the r5 additions): positions 0-11 are the 12
-# r4 feature-eng queries (never driver-checked before r5), 12-30 the
-# 19 NEW r5 queries, 31-49 backfill rows that are already driver-green
-# in r01-r04 CORRECTNESS files.  After this round EVERY catalog query
-# — including all r5 additions — has a driver-green row in some
-# CORRECTNESS_r*.json (re-checking rows green in an earlier round's
-# file would waste the scarce window slots).
+# entries (dict insertion order).  After round 5 the union is complete
+# (every catalog query driver-green in some CORRECTNESS_r*.json, or
+# justified rows-only with a green agreement row), so the round-6
+# OPTIMIZATION window re-validates exactly the queries whose PHYSICAL
+# PLANS this round changed: the four whose computation was
+# restructured (emb_covariance posexplode rewrite, range_join window
+# rewrite, doc_text_stats regexp_count swap, revenue_by_segment
+# per-order pre-aggregation) first, then the scan-spread-affected
+# families (documents / events / embeddings / lineitem); queries whose
+# plans are byte-identical to round 5 (spread opt-outs, unchanged
+# operators) keep their earlier green rows and stay out of the window.
 _DRIVER_WINDOW_FIRST = (
-    # 12 r4 feature-eng queries, never in a driver window before r5
-    "target_encode", "quantile_bin", "feature_hash", "cv_folds",
-    "temporal_split", "zscore", "drift_psi", "oof_target_encode",
-    "weighted_sample", "sample_per_group", "minmax_scale", "robust_scale",
-    # 19 r5 additions, never in a driver window before r5
-    "incremental_neardup", "role_transition", "response_latency",
-    "turn_runs", "count_encode", "loo_target_encode", "woe_encode",
-    "feature_corr", "mutual_info", "column_profile", "emb_covariance",
-    "emb_quantize", "quant_knn", "quant_recall_vs_exact", "pca_variance",
-    "funnel", "cohort_retention", "autocorr", "fuzzy_join",
-    # 18 backfill rows (driver-green in r01-r04; approx_distinct kept
-    # in-window so its new value-checked gate replaces the r4
-    # rows-only record in a driver file) + the late r5 addition
-    # incremental_agg in the final slot
-    "approx_distinct", "minhash_neardup", "simhash_neardup",
-    "doc_quality", "lang_id", "emb_top_pairs_gemm", "knn_batch",
-    "lsh_recall_vs_exact", "ivf_recall_vs_exact",
-    "minhash_recall_vs_exact", "segment_dedup", "token_fertility",
-    "canonical_per_cluster", "dup_components", "winnow_fp",
-    "hash_split", "pack_bins", "chi2_independence", "incremental_agg",
+    # 4 computation-restructured queries (results proven bit-identical
+    # locally; the driver re-proves them here)
+    "emb_covariance", "range_join", "doc_text_stats", "revenue_by_segment",
+    # spread-affected documents family
+    "pii_redact", "lang_id", "doc_quality", "repetition_stats",
+    "unigram_xent", "decontaminate", "bm25_topk", "bm25_batch",
+    "segment_dedup", "token_fertility", "feature_hash", "doc_chunks",
+    "column_profile", "feature_corr", "winnow_fp", "hash_split",
+    "pack_bins", "fuzzy_join",
+    # spread-affected events family
+    "sessionize", "session_stats", "rolling_counts", "asof_join",
+    "asof_join_merge", "role_freq_running", "user_stats",
+    "pivot_user_types", "sft_render", "sft_spans", "training_pairs",
+    "pandas_udaf_median", "oof_target_encode", "loo_target_encode",
+    "turn_runs", "funnel", "cohort_retention", "autocorr",
+    "response_latency", "role_transition", "incremental_agg",
+    # spread-affected embeddings family (minhash pair: rows-only row +
+    # its oracle-green agreement gate, both through the new
+    # checkpointed-verify plan)
+    "emb_quantize", "quant_knn", "quant_recall_vs_exact",
+    "emb_top_pairs_gemm", "minhash_neardup", "minhash_recall_vs_exact",
+    # lineitem family
+    "tpch_pricing",
 )
 
 
