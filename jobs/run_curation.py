@@ -83,7 +83,12 @@ def curate(
     t0 = time.time()
     funnel: dict[str, int] = {}
 
-    docs = spark.read.parquet(input_path)
+    # r6 scan-spread (fte/scan.py): a single-file, single-row-group
+    # input otherwise runs the whole regex/shingle funnel on ONE core;
+    # identity on multi-split cluster scans.
+    from fte.scan import spread
+
+    docs = spread(spark.read.parquet(input_path), spark, input_path, id_c)
     funnel["n_input"] = docs.count()
 
     # 1-2: lang + quality gates (one projection each, no shuffle)
