@@ -465,32 +465,47 @@ def all_pairs_topk_gemm(
                 A /= np.linalg.norm(A, axis=1, keepdims=True)
                 B /= np.linalg.norm(B, axis=1, keepdims=True)
                 S = A @ B.T
-                ia, ib = np.meshgrid(np.arange(len(ida)), np.arange(len(idb)), indexing="ij")
-                pa, pb = ida[ia.ravel()], idb[ib.ravel()]
-                s = S.ravel()
+                n_b = len(idb)
+                # r6: threshold on SCORES first and materialize id
+                # pairs for survivors only — the old path built two
+                # full block² int64 id meshes before any filtering
+                # (gigabytes of allocation across combos at 10^5+
+                # blocks). Selection is bit-identical: same element
+                # multiset, same kth-threshold-keep-ties rule, same
+                # final (-score, id_a, id_b) lexsort.
                 if row["_bx"] == row["_by"]:
-                    # each pair appears twice ((i,j) and (j,i)): keep one
-                    keep = pa < pb
-                    pa, pb, s = pa[keep], pb[keep], s[keep]
+                    # each pair appears twice ((i,j) and (j,i)): keep
+                    # the id-ordered copy (bool mask, not id meshes)
+                    mask = (ida[:, None] < idb[None, :]).ravel()
+                    flat = np.flatnonzero(mask)
+                    s = S.ravel()[flat]
                 else:
+                    flat = None  # every element is a distinct pair
+                    s = S.ravel()
+                if len(s) > k:
+                    # deterministic local top-k: O(n) partition finds
+                    # the kth score, keep EVERYTHING >= it (k plus ties
+                    # — a partition cut alone picks tied boundary
+                    # pairs arbitrarily)
+                    kth = np.partition(-s, k - 1)[k - 1]
+                    keep = np.flatnonzero(-s <= kth)
+                else:
+                    keep = np.arange(len(s))
+                cand = flat[keep] if flat is not None else keep
+                ia, ib = np.divmod(cand, n_b)
+                pa, pb, s = ida[ia], idb[ib], s[keep]
+                if row["_bx"] != row["_by"]:
                     # each pair appears ONCE with arbitrary side order:
                     # canonicalize lo/hi (a < filter here would drop
                     # ~half of all cross-block pairs)
                     lo = np.minimum(pa, pb)
                     hi = np.maximum(pa, pb)
                     pa, pb = lo, hi
-                if len(s) > k:
-                    # deterministic local top-k: O(n) argpartition finds
-                    # the kth score, keep EVERYTHING >= it (k plus ties
-                    # — an argpartition cut alone picks tied boundary
-                    # pairs arbitrarily), then lexsort the small
-                    # survivor set by (-score, id_a, id_b) — the same
-                    # total order the global merge uses — and truncate
-                    kth = np.partition(-s, k - 1)[k - 1]
-                    keep = -s <= kth
-                    pa, pb, s = pa[keep], pb[keep], s[keep]
-                    top = np.lexsort((pb, pa, -s))[:k]
-                    pa, pb, s = pa[top], pb[top], s[top]
+                # lexsort the small survivor set by (-score, id_a,
+                # id_b) — the same total order the global merge uses —
+                # and truncate
+                top = np.lexsort((pb, pa, -s))[:k]
+                pa, pb, s = pa[top], pb[top], s[top]
                 yield pd.DataFrame({"id_a": pa, "id_b": pb, "cos_sim": s})
 
     local = combos.mapInPandas(gemm, out_schema)
