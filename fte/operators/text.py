@@ -299,7 +299,13 @@ def bm25_scores(
     c = F.col(text_col)
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     tok = df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("_w"))
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_words"))
+    # r6: the per-doc-length aggregate is consumed by BOTH the corpus
+    # stats and the final score join; checkpoint it once (same
+    # intra-plan-reuse pattern as the minhash verify aggregate) so one
+    # action explodes the corpus for dl once, not per consumer.
+    dl = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words")
+    ).localCheckpoint(eager=False)
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("_n_docs"),
         F.avg(F.col("n_words").cast("double")).alias("_avgdl"),
@@ -362,7 +368,13 @@ def unigram_logprob_scores(
     c = F.col(text_col)
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     tok = df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("_w"))
-    vocab = tok.groupBy("_w").agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    # r6: the vocab aggregate is consumed twice (totals + the
+    # broadcast back onto the token stream); checkpoint it once so a
+    # single action explodes the corpus for vocab once, not per
+    # consumer (intra-plan reuse, same pattern as the bm25 dl).
+    vocab = tok.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("double").alias("_c")
+    ).localCheckpoint(eager=False)
     totals = vocab.agg(
         F.sum("_c").alias("_n_total"),
         F.count(F.lit(1)).cast("double").alias("_v"),
@@ -549,7 +561,13 @@ def bm25_topk_batch(
     c = F.col(text_col)
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     tok = df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("_w"))
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_words"))
+    # r6: the per-doc-length aggregate is consumed by BOTH the corpus
+    # stats and the final score join; checkpoint it once (same
+    # intra-plan-reuse pattern as the minhash verify aggregate) so one
+    # action explodes the corpus for dl once, not per consumer.
+    dl = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words")
+    ).localCheckpoint(eager=False)
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("_n_docs"),
         F.avg(F.col("n_words").cast("double")).alias("_avgdl"),
